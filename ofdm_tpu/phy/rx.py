@@ -1,0 +1,194 @@
+"""Receive chain: sample stream -> bytes.
+
+Rebuilds the reference decoder (src/receiver.rs:8-96) as a batched, jittable
+pipeline.  The reference's sequential per-sample/per-block loops become fused
+tensor ops:
+
+  1. frame sync  — short-kernel sliding correlation against the locking
+     signal; offset arithmetic identical to src/receiver.rs:20-25.
+  2. CFO         — f_delta = |mean(angle(chunk4/chunk3))/80| (Schmidl-Cox
+     style, src/receiver.rs:231-240) applied as exp(-j f_delta n) with a
+     global sample index across all chunks (src/receiver.rs:44-50).
+  3. channel est — h_k = mean over 5 training blocks of FFT(block[16:])/T_k
+     (src/receiver.rs:212-229); equalization Y/h_k (src/receiver.rs:67-70).
+  4. phase corr  — per data block, phi = mean over pilots of angle(Y_eq[pilot]);
+     that block's data bins *= exp(-j phi) (src/receiver.rs:106-145).  The
+     reference applies this retroactively after pushing samples; operating
+     block-wise on tensors is equivalent.
+  5. demod       — hard decision + LSB-first bit packing (src/receiver.rs:147-190).
+
+Two entry points: ``decode`` (reference-parity, host-driven dynamic length)
+and ``decode_frame`` (fully static shapes, batched, one XLA computation —
+the production/benchmark path).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..config import DEFAULT_CONFIG, FrameConfig
+from ..core.bitops import bits_to_bytes
+from ..core.transfer import to_device, to_host
+from ..ops.fft import fft
+from ..ops.xcorr import locking_sync_offset
+from ..packets.header import HEADER_LEN, Header
+from .modulation import BITS_PER_SYMBOL, Modulation, demodulate_symbols
+
+
+class DecodeError(ValueError):
+    """Raised when the stream cannot be decoded (reference: anyhow errors)."""
+
+
+def sync_offset(samples: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """Reference frame-sync offset (batched over leading axes)."""
+    template = jnp.asarray(constants.locking_signal(cfg.sym_len),
+                           dtype=samples.dtype)
+    return locking_sync_offset(samples, template)
+
+
+def _cfo_estimate(chunks: jnp.ndarray, cfg: FrameConfig) -> jnp.ndarray:
+    """f_delta from the 4th/5th chunks (preamble pair), src/receiver.rs:231-240."""
+    left = chunks[..., 3, :]
+    right = chunks[..., 4, :]
+    ang = jnp.angle(right / left)
+    return jnp.abs(jnp.mean(ang, axis=-1) / cfg.sym_len)
+
+
+def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
+    """Per-block pilot phase correction + data-bin extraction.
+
+    eq: [..., nb, n_fft] equalized blocks -> [..., nb * carriers] symbols.
+    """
+    if guard_bands:
+        pilots = eq[..., list(cfg.pilot_indices)]
+        phi = jnp.mean(jnp.angle(pilots), axis=-1, keepdims=True)
+        data = eq[..., cfg.data_indices] * jnp.exp(-1j * phi.astype(eq.real.dtype)
+                                                   ).astype(eq.dtype)
+    else:
+        data = eq
+    return data.reshape(*data.shape[:-2], -1)
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation", "cfg"))
+def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
+                   guard_bands: bool = False,
+                   modulation: Modulation = Modulation.BPSK,
+                   cfg: FrameConfig = DEFAULT_CONFIG):
+    """Decode a sync-aligned stream of exactly ``n_chunks * sym_len`` samples.
+
+    Returns (bytes_u8[..., n_bytes], diagnostics dict).  Batched over leading
+    axes.  The stream must start at the locking block (post sync trim).
+    """
+    sym = cfg.sym_len
+    chunks = aligned[..., : n_chunks * sym].reshape(*aligned.shape[:-1], n_chunks, sym)
+    rd = jnp.real(aligned).dtype
+
+    # CFO estimate + global derotation (sample index spans all chunks).
+    f_delta = _cfo_estimate(chunks, cfg)
+    n = jnp.arange(n_chunks * sym, dtype=rd).reshape(n_chunks, sym)
+    rot = jnp.exp(jax.lax.complex(jnp.zeros_like(f_delta[..., None, None] * n),
+                                  -f_delta[..., None, None] * n))
+    chunks = chunks * rot.astype(chunks.dtype)
+
+    # Channel estimate from the 5 training chunks.
+    t0 = cfg.n_locking + cfg.n_preamble
+    training_rx = chunks[..., t0:t0 + cfg.n_training, cfg.cp_len:]
+    training_ref = jnp.asarray(
+        constants.training_signals(cfg.n_fft, cfg.training_seed), dtype=chunks.dtype)
+    h_k = jnp.mean(fft(training_rx) / training_ref, axis=-2)
+
+    # Data blocks: CP strip + FFT + equalize.
+    data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
+    eq = fft(data_t) / h_k[..., None, :]
+
+    syms = _equalize_and_extract(eq, guard_bands, cfg)
+    bits = demodulate_symbols(syms, modulation)
+    out = bits_to_bytes(bits)
+    diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms}
+    return out, diag
+
+
+def decode(samples, guard_bands: bool = False,
+           modulation: Modulation = Modulation.BPSK,
+           cfg: FrameConfig = DEFAULT_CONFIG,
+           return_diagnostics: bool = False):
+    """Reference-parity decode of one 1-D sample stream (src/receiver.rs:8-96).
+
+    Host-driven: pulls the sync offset to the host, pads the tail chunk with
+    zeros like split_into_chunks (src/receiver.rs:192-210), parses the header
+    and truncates to packet_length.  Raises DecodeError like the reference's
+    early bail on short input.
+    """
+    samples = samples if isinstance(samples, jax.Array) else to_device(samples)
+    offset = int(sync_offset(samples, cfg))
+    # The reference computes offset = peak_lag - 1 and would panic on a
+    # negative cast (split_off(-1 as usize)); a clean un-delayed stream sits
+    # at peak_lag 0.  Clamp small negatives to 0 — same alignment, no crash.
+    if offset == -1:
+        offset = 0
+    if offset < 0 or offset > samples.shape[-1]:
+        raise DecodeError(f"sync offset {offset} out of range")
+    aligned = samples[offset:]
+    if aligned.shape[-1] < (cfg.n_sync_chunks * cfg.sym_len):
+        raise DecodeError("Input not long enough, bailing early")
+
+    n_chunks = -(-aligned.shape[-1] // cfg.sym_len)
+    pad = n_chunks * cfg.sym_len - aligned.shape[-1]
+    aligned = jnp.pad(aligned, (0, pad))
+
+    out, diag = decode_aligned(aligned, n_chunks=n_chunks,
+                               guard_bands=guard_bands, modulation=modulation,
+                               cfg=cfg)
+    raw = np.asarray(out)
+    if raw.shape[-1] < HEADER_LEN:
+        raise DecodeError("decoded stream shorter than header")
+    header = Header.from_bytes(raw[:HEADER_LEN].tobytes())
+    payload = raw[HEADER_LEN:HEADER_LEN + header.packet_length]
+    if header.packet_length > raw.shape[-1] - HEADER_LEN:
+        # Reference Vec::truncate caps at available length; mirror that.
+        payload = raw[HEADER_LEN:]
+    if return_diagnostics:
+        diag = {k: to_host(v) for k, v in diag.items()}
+        diag["offset"] = offset
+        return payload, diag
+    return payload
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation", "cfg"))
+def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
+                 guard_bands: bool = False,
+                 modulation: Modulation = Modulation.BPSK,
+                 cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
+
+    ``n_blocks`` is the expected number of data OFDM symbols (known from the
+    deployment config).  Sync offset is resolved on-device with
+    ``dynamic_slice`` — no host round-trip — so the whole rx chain is one XLA
+    computation.  This is the production streaming/benchmark path.
+    """
+    squeeze = samples.ndim == 1
+    if squeeze:
+        samples = samples[None, :]
+    n_chunks = cfg.n_sync_chunks + n_blocks
+    need = n_chunks * cfg.sym_len
+    pad = max(0, need - samples.shape[-1])
+    samples = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
+
+    offsets = jnp.clip(sync_offset(samples, cfg), 0, samples.shape[-1] - need)
+
+    def take(row, off):
+        return jax.lax.dynamic_slice_in_dim(row, off, need, axis=0)
+
+    batch_shape = samples.shape[:-1]
+    flat = samples.reshape(-1, samples.shape[-1])
+    aligned = jax.vmap(take)(flat, offsets.reshape(-1))
+    aligned = aligned.reshape(*batch_shape, need)
+
+    out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
+                            modulation=modulation, cfg=cfg)
+    return out[0] if squeeze else out

@@ -1,0 +1,125 @@
+"""Transmit chain: bytes -> OFDM sample stream.
+
+Rebuilds the reference encoder (src/transmitter.rs:11-58) as one batched,
+jittable computation: the per-block while-loop becomes a
+[batch, n_blocks, 64] tensor fed through a single MXU-batched IFFT, a cyclic
+prefix gather, and a peak normalization.  Wire format is identical:
+
+    [locking(80) | preamble x4 (80 each) | training+CP x5 (80 each) |
+     data blocks x N (64-pt IFFT + 16 CP)]  all peak-normalized.
+
+The 16-byte little-endian u128 header precedes the payload in the modulated
+stream (src/transmitter.rs:36-47).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..config import DEFAULT_CONFIG, FrameConfig
+from ..core.bitops import bytes_to_bits
+from ..ops.fft import ifft
+from ..packets.header import Header
+from .modulation import BITS_PER_SYMBOL, Modulation, modulate_bits
+
+
+@lru_cache(maxsize=None)
+def _sync_prefix(cfg: FrameConfig) -> np.ndarray:
+    """The constant frame prefix: locking + preambles + prefixed training."""
+    lock = constants.locking_signal(cfg.sym_len)
+    pre = constants.preamble(cfg.sym_len, cfg.preamble_seed)
+    train = constants.training_signals(cfg.n_fft, cfg.training_seed)
+    t_time = np.fft.ifft(train)
+    t_prefixed = np.concatenate([t_time[-cfg.cp_len:], t_time])
+    parts = ([lock] * cfg.n_locking + [pre] * cfg.n_preamble
+             + [t_prefixed] * cfg.n_training)
+    return np.concatenate(parts)
+
+
+def n_data_blocks(payload_len: int, modulation: Modulation, guard_bands: bool,
+                  cfg: FrameConfig = DEFAULT_CONFIG) -> int:
+    """Number of data OFDM symbols for a payload of ``payload_len`` bytes
+    (header included automatically, zero-padded final block)."""
+    n_bits = (payload_len + cfg.header_len_bytes) * 8
+    bps = BITS_PER_SYMBOL[modulation]
+    n_syms = -(-n_bits // bps)
+    carriers = cfg.carriers_per_block(guard_bands)
+    return -(-n_syms // carriers)
+
+
+def frame_len(payload_len: int, modulation: Modulation, guard_bands: bool,
+              cfg: FrameConfig = DEFAULT_CONFIG) -> int:
+    """Total samples in the transmitted frame."""
+    nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
+    return cfg.sync_len + nb * cfg.sym_len
+
+
+def symbols_to_blocks(syms: jnp.ndarray, guard_bands: bool,
+                      cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """complex[..., n_syms] -> complex[..., n_blocks, n_fft] frequency-domain
+    blocks with guard/pilot layout (src/transmitter.rs:144-165).  Pads the
+    final block with zeros like the reference's ``unwrap_or(0)``."""
+    carriers = cfg.carriers_per_block(guard_bands)
+    nb = -(-syms.shape[-1] // carriers)
+    pad = nb * carriers - syms.shape[-1]
+    syms = jnp.pad(syms, [(0, 0)] * (syms.ndim - 1) + [(0, pad)])
+    grouped = syms.reshape(*syms.shape[:-1], nb, carriers)
+    if not guard_bands:
+        return grouped
+    blocks = jnp.zeros((*grouped.shape[:-1], cfg.n_fft), dtype=syms.dtype)
+    blocks = blocks.at[..., cfg.data_indices].set(grouped)
+    blocks = blocks.at[..., list(cfg.pilot_indices)].set(
+        jnp.asarray(cfg.pilot_value, dtype=syms.dtype))
+    return blocks
+
+
+def blocks_to_samples(blocks: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """IFFT + cyclic prefix + flatten: [..., nb, n_fft] -> [..., nb*sym_len]."""
+    t = ifft(blocks)
+    prefixed = jnp.concatenate([t[..., -cfg.cp_len:], t], axis=-1)
+    return prefixed.reshape(*prefixed.shape[:-2], -1)
+
+
+def peak_normalize(stream: jnp.ndarray) -> jnp.ndarray:
+    """Divide by the max positive real/imag component (src/transmitter.rs:183-194
+    takes max(re, im) without abs; replicated exactly), per frame row."""
+    m = jnp.maximum(jnp.max(jnp.real(stream), axis=-1),
+                    jnp.max(jnp.imag(stream), axis=-1))
+    return stream / m[..., None]
+
+
+@partial(jax.jit, static_argnames=("guard_bands", "modulation", "cfg", "dtype"))
+def encode_payload(payload: jnp.ndarray, *, guard_bands: bool = False,
+                   modulation: Modulation = Modulation.BPSK,
+                   cfg: FrameConfig = DEFAULT_CONFIG,
+                   dtype=jnp.complex64) -> jnp.ndarray:
+    """Jitted batched encoder: uint8[..., L] (header already prepended)
+    -> complex[..., frame_len]."""
+    bits = bytes_to_bits(payload)
+    syms = modulate_bits(bits, modulation, dtype=dtype)
+    blocks = symbols_to_blocks(syms, guard_bands, cfg)
+    data_samples = blocks_to_samples(blocks, cfg)
+    prefix = jnp.asarray(_sync_prefix(cfg), dtype=dtype)
+    prefix = jnp.broadcast_to(prefix, (*data_samples.shape[:-1], prefix.shape[0]))
+    return peak_normalize(jnp.concatenate([prefix, data_samples], axis=-1))
+
+
+def encode(data, guard_bands: bool = False,
+           modulation: Modulation = Modulation.BPSK,
+           cfg: FrameConfig = DEFAULT_CONFIG, dtype=jnp.complex64) -> jnp.ndarray:
+    """Reference-parity entry point (src/transmitter.rs:11-58).
+
+    ``data``: bytes | uint8[L] | uint8[B, L].  Returns complex[(B,) T].
+    """
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    header = np.frombuffer(Header(arr.shape[-1]).to_bytes(), dtype=np.uint8)
+    header = np.broadcast_to(header, (*arr.shape[:-1], header.shape[0]))
+    payload = np.concatenate([header, arr], axis=-1)
+    return encode_payload(jnp.asarray(payload), guard_bands=guard_bands,
+                          modulation=modulation, cfg=cfg, dtype=dtype)

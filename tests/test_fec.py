@@ -1,0 +1,130 @@
+"""FEC layer tests: Hamming(7,4) (north star) and RS(255,223) (parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofdm_tpu.fec import hamming
+from ofdm_tpu.fec import reed_solomon as rs
+
+
+class TestHamming:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.integers(0, 256, 200, dtype=np.uint8))
+        coded = hamming.encode(data)
+        assert coded.shape[0] == hamming.encoded_len(200) == 350
+        back = hamming.decode(coded, 200)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(data))
+
+    def test_corrects_one_bit_per_codeword(self):
+        rng = np.random.default_rng(1)
+        data = jnp.asarray(rng.integers(0, 256, 64, dtype=np.uint8))
+        coded = np.asarray(hamming.encode(data)).copy()
+        # flip one bit inside each of several distinct codewords (7-bit each)
+        coded_bits = np.unpackbits(coded, bitorder="little")
+        for cw in range(0, 128, 3):
+            bitpos = cw * 7 + (cw % 7)
+            coded_bits[bitpos] ^= 1
+        corrupted = np.packbits(coded_bits, bitorder="little")
+        back = hamming.decode(jnp.asarray(corrupted), 64)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(data))
+
+    def test_batched(self):
+        rng = np.random.default_rng(2)
+        data = jnp.asarray(rng.integers(0, 256, (4, 50), dtype=np.uint8))
+        back = hamming.decode(hamming.encode(data), 50)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(data))
+
+
+class TestReedSolomon:
+    def test_generator_poly_first_coeffs(self):
+        # g(x) = prod (x - a^i), i=0..31; degree 32, monic.
+        assert len(rs._GEN) == 33 and rs._GEN[0] == 1
+        # known for 0x11d, fcr=0: g has all-nonzero coefficients
+        assert (rs._GEN != 0).all()
+
+    def test_stream_framing_matches_reference(self):
+        # len % 223 == 0 still emits a trailing all-zero block
+        # (src/utils.rs:123-131 None arm).
+        coded = rs.encode_stream(np.zeros(223, np.uint8))
+        assert len(coded) == 2 * 255
+        coded = rs.encode_stream(np.zeros(10, np.uint8))
+        assert len(coded) == 255
+
+    def test_clean_roundtrip(self):
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, 1024, dtype=np.uint8)
+        back, ok = rs.decode_stream(rs.encode_stream(data))
+        assert ok
+        np.testing.assert_array_equal(back[:1024], data)
+        # decode pads to whole blocks: trailing zeros beyond the data
+        assert (back[1024:] == 0).all()
+
+    @pytest.mark.parametrize("nerr", [1, 4, 16])
+    def test_corrects_up_to_16_byte_errors(self, nerr):
+        rng = np.random.default_rng(nerr)
+        data = rng.integers(0, 256, 300, dtype=np.uint8)
+        coded = rs.encode_stream(data).copy()
+        pos = rng.choice(255, nerr, replace=False)
+        coded[pos] ^= rng.integers(1, 256, nerr).astype(np.uint8)
+        back, ok = rs.decode_stream(coded)
+        assert ok
+        np.testing.assert_array_equal(back[:300], data)
+
+    def test_17_errors_fail_or_mismatch(self):
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, 300, dtype=np.uint8)
+        coded = rs.encode_stream(data).copy()
+        pos = rng.choice(255, 20, replace=False)
+        coded[pos] ^= rng.integers(1, 256, 20).astype(np.uint8)
+        back, ok = rs.decode_stream(coded)
+        assert (not ok) or (not np.array_equal(back[:300], data))
+
+    def test_zero_codeword_is_valid(self):
+        # all-zero 255 block is a codeword; decode succeeds with zero data —
+        # this is why the reference's trailing-block quirk is harmless.
+        back, ok = rs.decode_blocks(np.zeros((1, 255), np.uint8))
+        assert ok.all() and (back == 0).all()
+
+    def test_errors_in_different_blocks(self):
+        rng = np.random.default_rng(11)
+        data = rng.integers(0, 256, 600, dtype=np.uint8)  # 3 blocks
+        coded = rs.encode_stream(data).copy()
+        for blk in range(3):
+            pos = blk * 255 + rng.choice(255, 10, replace=False)
+            coded[pos] ^= rng.integers(1, 256, 10).astype(np.uint8)
+        back, ok = rs.decode_stream(coded)
+        assert ok
+        np.testing.assert_array_equal(back[:600], data)
+
+
+class TestEndToEndWithFec:
+    """FEC composed with the modem: the lab3b_image/lab3c configuration."""
+
+    def test_rs_over_noisy_channel(self):
+        import jax
+        import ofdm_tpu as ot
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 256, 400, dtype=np.uint8)
+        coded = rs.encode_stream(data)
+        tx = ot.encode(coded, guard_bands=True, modulation=ot.Modulation.QPSK,
+                       dtype=jnp.complex128)
+        rx = ot.channel(tx, snr=15.0, timing_error=True, key=jax.random.key(1))
+        out = ot.decode(rx, guard_bands=True, modulation=ot.Modulation.QPSK)
+        back, ok = rs.decode_stream(out)
+        assert ok
+        np.testing.assert_array_equal(back[:400], data)
+
+    def test_hamming_over_noisy_channel(self):
+        import jax
+        import ofdm_tpu as ot
+        rng = np.random.default_rng(6)
+        data = jnp.asarray(rng.integers(0, 256, 400, dtype=np.uint8))
+        coded = hamming.encode(data)
+        tx = ot.encode(np.asarray(coded), guard_bands=True,
+                       modulation=ot.Modulation.QPSK, dtype=jnp.complex128)
+        rx = ot.channel(tx, snr=14.0, timing_error=False, key=jax.random.key(2))
+        out = ot.decode(rx, guard_bands=True, modulation=ot.Modulation.QPSK)
+        back = hamming.decode(jnp.asarray(out), 400)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(data))

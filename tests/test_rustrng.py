@@ -1,0 +1,58 @@
+"""Tests for the StdRng replica that generates frame constants."""
+
+import numpy as np
+
+from ofdm_tpu import constants
+from ofdm_tpu.core.rustrng import ChaChaRng, _chacha_block, complex_uniform_sequence
+
+
+def test_chacha_core_known_vector():
+    # ChaCha20, all-zero key/nonce/counter: canonical first-block keystream.
+    words = _chacha_block([0] * 8, 0, [0, 0], 20)
+    stream = b"".join(w.to_bytes(4, "little") for w in words)
+    assert stream[:32].hex() == (
+        "76b8e0ada0f13d90405d6ae55386bd28"
+        "bdd219b8a08ded1aa836efcc8b770dc7"
+    )
+
+
+def test_gen_range_bounds():
+    rng = ChaChaRng.seed_from_u64(123)
+    vals = [rng.gen_range_f64(-1.0, 1.0) for _ in range(1000)]
+    assert all(-1.0 <= v < 1.0 for v in vals)
+    # uniform-ish: mean near 0
+    assert abs(np.mean(vals)) < 0.1
+
+
+def test_sequence_prefix_stability():
+    # The reference receiver requests training_signals::<80> but consumes only
+    # the first 64 values (src/receiver.rs:216); generation is sequential so
+    # the 64-seq is a prefix of the 80-seq.  This equivalence justifies using
+    # one 64-length table on both sides (SURVEY.md section 0.4).
+    t64 = complex_uniform_sequence(50, 64)
+    t80 = complex_uniform_sequence(50, 80)
+    assert np.array_equal(t64, t80[:64])
+
+
+def test_determinism():
+    a = complex_uniform_sequence(100, 80, scale=0.25)
+    b = complex_uniform_sequence(100, 80, scale=0.25)
+    assert np.array_equal(a, b)
+    assert np.all(np.abs(a.real) <= 0.25)
+
+
+def test_constant_tables_shapes():
+    assert constants.locking_signal(80).shape == (80,)
+    assert constants.preamble(80).shape == (80,)
+    assert constants.training_signals(64).shape == (64,)
+    assert constants.CHANNEL_TAPS.shape == (64,)
+    assert constants.CHANNEL_TAPS[9] == 0.9316
+
+
+def test_locking_signal_is_shifted_ramp():
+    # locking_signal (src/transmitter.rs:60-72): ramp then fft_shift.
+    lock = constants.locking_signal(80)
+    idx = np.arange(80)
+    ramp = 0.5 * (idx / 160.0 + 0.5)
+    assert np.allclose(lock, np.fft.fftshift(ramp))
+    assert np.all(lock.imag == 0)
