@@ -1,0 +1,135 @@
+"""Distributed transceiver pipelines over a ("data", "time") mesh.
+
+Three building blocks:
+
+- ``sharded_sync_offset`` — sequence-parallel frame sync: the sample stream's
+  time axis is sharded, each shard runs the sliding correlation locally after
+  a 79-sample ring halo exchange (ppermute over ICI), and a distributed
+  argmax with first-occurrence tie-breaking reproduces the reference offset
+  (src/receiver.rs:20-25) for all non-negative lags.
+- ``decode_frame_sharded`` — channel/data-parallel batched decode: rows of
+  the batch shard over the data axis; XLA partitions the whole rx chain with
+  zero cross-device communication.
+- ``pipeline_step`` — the full tx -> channel -> rx -> BER step used for
+  multi-chip validation and scaling benchmarks; bit errors are psum-reduced
+  across the mesh (the framework's "training step" analog).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import constants
+from ..config import DEFAULT_CONFIG, FrameConfig
+from ..phy import rx as rx_mod
+from ..phy.channel import channel
+from ..phy.modulation import Modulation
+from ..phy.rx import decode_aligned
+from ..phy.tx import encode_payload, n_data_blocks
+from .halo import global_argmax
+from .mesh import DATA_AXIS, TIME_AXIS
+
+
+def sharded_sync_offset(samples: jnp.ndarray, mesh,
+                        cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """[B, T] (T divisible by mesh time size) -> offsets[B].
+
+    Covers lags >= 0 (negative lags can only win on pathological streams; the
+    host path handles the clean-signal lag-0 / offset=-1 case by clamping).
+    """
+    template = jnp.asarray(constants.locking_signal(cfg.sym_len),
+                           dtype=samples.dtype)
+    k = cfg.sym_len
+    n_time = mesh.shape[TIME_AXIS]
+
+    def local_fn(shard):
+        # shard: [B_loc, T_loc].  Halo: first k-1 samples of right neighbor;
+        # the last shard zeroes its (wrapped) halo so no spurious windows.
+        my_t = jax.lax.axis_index(TIME_AXIS)
+        head = shard[:, : k - 1]
+        perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+        recv = jax.lax.ppermute(head, TIME_AXIS, perm)
+        recv = jnp.where(my_t == n_time - 1, jnp.zeros_like(recv), recv)
+        ext = jnp.concatenate([shard, recv], axis=-1)
+
+        from ..ops.xcorr import sliding_correlation
+        c = sliding_correlation(ext, template)
+        # sliding_correlation output index i = lag i-(k-1) relative to ext;
+        # keep exactly the T_loc windows starting inside this shard.
+        c = c[:, k - 1: k - 1 + shard.shape[-1]]
+        power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+        idx = global_argmax(power, TIME_AXIS)          # [B_loc] global lag
+        return (idx - 1).astype(jnp.int32)             # reference offset = lag-1
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=P(DATA_AXIS, TIME_AXIS),
+                   out_specs=P(DATA_AXIS))
+    return fn(samples)
+
+
+def decode_frame_sharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
+                         guard_bands: bool = False,
+                         modulation: Modulation = Modulation.BPSK,
+                         cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """Data-parallel batched decode: [B, T] rows sharded over the data axis."""
+    sharded = jax.device_put(samples, NamedSharding(mesh, P(DATA_AXIS, None)))
+    return rx_mod.decode_frame(sharded, n_blocks=n_blocks,
+                               guard_bands=guard_bands, modulation=modulation,
+                               cfg=cfg)
+
+
+def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
+                       modulation: Modulation = Modulation.QAM64,
+                       snr: float = 45.0, timing_error: bool = True,
+                       cfg: FrameConfig = DEFAULT_CONFIG):
+    """Build the jitted full-pipeline step over the mesh.
+
+    Returns step(payload[B, L], key) -> (decoded[B, n_bytes], total_bit_errors)
+    with the batch sharded over the data axis and sync executed
+    sequence-parallel over the time axis.
+    """
+    nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
+    n_chunks = cfg.n_sync_chunks + nb
+    frame = n_chunks * cfg.sym_len
+    n_time = mesh.shape[TIME_AXIS]
+
+    data_shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    import numpy as np
+
+    from ..packets.header import Header
+    header = jnp.asarray(np.frombuffer(Header(payload_len).to_bytes(), np.uint8))
+
+    @partial(jax.jit,
+             in_shardings=(NamedSharding(mesh, P(DATA_AXIS, None)), None),
+             out_shardings=(data_shard, None))
+    def step(data, key):
+        hdr = jnp.broadcast_to(header, (*data.shape[:-1], header.shape[0]))
+        payload = jnp.concatenate([hdr, data], axis=-1)
+        tx = encode_payload(payload, guard_bands=guard_bands,
+                            modulation=modulation, cfg=cfg)
+        rx = channel(tx, snr=snr, timing_error=timing_error, key=key)
+        # pad time axis to a multiple of the time-mesh and of the frame window
+        need = frame + cfg.sym_len
+        t_pad = -(rx.shape[-1] + need) % (n_time * cfg.sym_len) + need
+        rx = jnp.pad(rx, ((0, 0), (0, t_pad)))
+        offsets = sharded_sync_offset(rx, mesh, cfg)
+        offsets = jnp.clip(offsets, 0, rx.shape[-1] - frame)
+
+        aligned = jax.vmap(
+            lambda row, off: jax.lax.dynamic_slice_in_dim(row, off, frame))(
+                rx, offsets)
+        decoded, _ = decode_aligned(aligned, n_chunks=n_chunks,
+                                    guard_bands=guard_bands,
+                                    modulation=modulation, cfg=cfg)
+        from ..obs.analysis import bit_errors
+        errs = bit_errors(decoded[:, cfg.header_len_bytes:
+                                  cfg.header_len_bytes + payload_len], data)
+        return decoded, jnp.sum(errs)
+
+    return step

@@ -1,0 +1,88 @@
+"""Multi-device tests on the 8-device fake CPU mesh.
+
+Validates the mesh/sharding layer the driver separately dry-run-compiles:
+data-parallel decode, sequence-parallel sync with ring halo exchange, and the
+full sharded pipeline step with psum'd BER.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ofdm_tpu as ot
+from ofdm_tpu import constants
+from ofdm_tpu.parallel.mesh import make_mesh
+from ofdm_tpu.parallel.pipeline import (decode_frame_sharded, make_pipeline_step,
+                                        sharded_sync_offset)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 fake devices")
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_sharded_sync_matches_single_device(rng):
+    mesh = make_mesh(n_data=2, n_time=4)
+    lock = np.asarray(constants.locking_signal(80))
+    B, T = 4, 4000
+    streams = 0.01 * (rng.standard_normal((B, T))
+                      + 1j * rng.standard_normal((B, T)))
+    delays = [13, 500, 1999, 3500]
+    for i, d in enumerate(delays):
+        streams[i, d:d + 80] += lock
+    streams = jnp.asarray(streams)
+    offs = np.asarray(sharded_sync_offset(streams, mesh))
+    ref = np.asarray(ot.sync_offset(streams))
+    np.testing.assert_array_equal(offs, ref)
+    np.testing.assert_array_equal(offs, np.asarray(delays) - 1)
+
+
+def test_sharded_sync_peak_spanning_shard_boundary(rng):
+    # shard size 1000: place the template straddling a boundary (halo path)
+    mesh = make_mesh(n_data=1, n_time=4)
+    lock = np.asarray(constants.locking_signal(80))
+    T = 4000
+    stream = 0.01 * (rng.standard_normal((1, T)) + 1j * rng.standard_normal((1, T)))
+    d = 970   # crosses the 1000 boundary
+    stream[0, d:d + 80] += lock
+    off = int(np.asarray(sharded_sync_offset(jnp.asarray(stream), mesh))[0])
+    assert off == d - 1
+
+
+def test_decode_frame_sharded_matches_host_decode(rng):
+    mesh = make_mesh(n_data=8, n_time=1)
+    data = rng.integers(0, 256, (8, 100), dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=True, modulation=ot.Modulation.QPSK,
+                   dtype=jnp.complex128)
+    rx = ot.channel(tx, snr=30.0, key=jax.random.key(1))
+    nb = ot.n_data_blocks(100, ot.Modulation.QPSK, True)
+    out = decode_frame_sharded(rx, mesh, n_blocks=nb, guard_bands=True,
+                               modulation=ot.Modulation.QPSK)
+    payload = np.asarray(out)[:, 16:116]
+    np.testing.assert_array_equal(payload, data)
+
+
+@pytest.mark.parametrize("n_data,n_time", [(8, 1), (4, 2), (2, 4)])
+def test_pipeline_step_zero_errors(rng, n_data, n_time):
+    mesh = make_mesh(n_data=n_data, n_time=n_time)
+    step = make_pipeline_step(mesh, payload_len=64, guard_bands=True,
+                              modulation=ot.Modulation.QPSK, snr=30.0,
+                              timing_error=True)
+    data = jnp.asarray(rng.integers(0, 256, (8, 64), dtype=np.uint8))
+    decoded, errs = step(data, jax.random.key(3))
+    assert decoded.shape[0] == 8
+    assert int(errs) == 0
+
+
+def test_pipeline_step_qam64(rng):
+    mesh = make_mesh(n_data=4, n_time=2)
+    step = make_pipeline_step(mesh, payload_len=32, guard_bands=True,
+                              modulation=ot.Modulation.QAM64, snr=45.0,
+                              timing_error=False)
+    data = jnp.asarray(rng.integers(0, 256, (4, 32), dtype=np.uint8))
+    _, errs = step(data, jax.random.key(4))
+    assert int(errs) == 0
