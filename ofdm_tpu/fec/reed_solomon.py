@@ -9,14 +9,33 @@ match arm encodes the scratch buffer unconditionally).  ``encode_stream`` /
 ``decode_stream`` replicate that framing exactly, including the trailing
 block and decode's zero-padded final chunk.
 
-This is post-demod byte work at ~1/8 the sample rate, so it runs host-side in
-vectorized numpy (syndromes for all blocks at once; Berlekamp-Massey per
-failing block only).  A C++ batch codec can slot in behind the same API.
+This is post-demod byte work at ~1/8 the sample rate, so it runs host-side:
+a C++ batch codec (native/rs_codec.cpp, loaded via ctypes) when built, with a
+vectorized-numpy fallback (syndromes for all blocks at once; Berlekamp-Massey
+per failing block only).
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+_LIB = None
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "librs_codec.so")
+if os.path.exists(_LIB_PATH):
+    try:
+        _LIB = ctypes.CDLL(_LIB_PATH)
+        _LIB.rs_encode_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        _LIB.rs_decode_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+    except OSError:
+        _LIB = None
 
 PRIM_POLY = 0x11D
 N = 255
@@ -115,7 +134,14 @@ def _parity_blocks(data_blocks: np.ndarray) -> np.ndarray:
 
 def encode_blocks(data_blocks: np.ndarray) -> np.ndarray:
     """[B, 223] data -> [B, 255] codewords (data || parity)."""
-    data_blocks = np.asarray(data_blocks, dtype=np.uint8)
+    data_blocks = np.ascontiguousarray(data_blocks, dtype=np.uint8)
+    if _LIB is not None:
+        out = np.empty((data_blocks.shape[0], N), dtype=np.uint8)
+        _LIB.rs_encode_blocks(
+            data_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            data_blocks.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
     parity = _parity_blocks(data_blocks)
     return np.concatenate([data_blocks, parity.astype(np.uint8)], axis=1)
 
@@ -230,7 +256,15 @@ def _correct_block(block: np.ndarray, synd: np.ndarray) -> np.ndarray | None:
 
 def decode_blocks(blocks: np.ndarray):
     """[B, 255] -> ([B, 223] corrected data, ok_mask[B])."""
-    blocks = np.asarray(blocks, dtype=np.uint8)
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    if _LIB is not None:
+        buf = blocks.copy()
+        ok = np.empty(buf.shape[0], dtype=np.uint8)
+        _LIB.rs_decode_blocks(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.shape[0],
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return buf[:, :K], ok.astype(bool)
     synd = _syndromes(blocks)
     ok = ~(synd != 0).any(axis=1)
     out = blocks[:, :K].copy()

@@ -44,11 +44,12 @@ class DecodeError(ValueError):
     """Raised when the stream cannot be decoded (reference: anyhow errors)."""
 
 
-def sync_offset(samples: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+def sync_offset(samples: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG,
+                compute_dtype=None) -> jnp.ndarray:
     """Reference frame-sync offset (batched over leading axes)."""
     template = jnp.asarray(constants.locking_signal(cfg.sym_len),
                            dtype=samples.dtype)
-    return locking_sync_offset(samples, template)
+    return locking_sync_offset(samples, template, compute_dtype=compute_dtype)
 
 
 def _cfo_estimate(chunks: jnp.ndarray, cfg: FrameConfig) -> jnp.ndarray:
@@ -113,6 +114,21 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     return out, diag
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _sync_jit(samples, cfg: FrameConfig = DEFAULT_CONFIG):
+    return sync_offset(samples, cfg)
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation", "cfg"))
+def _align_decode(samples, offset, *, n_chunks: int, guard_bands: bool,
+                  modulation: Modulation, cfg: FrameConfig):
+    need = n_chunks * cfg.sym_len
+    padded = jnp.pad(samples, (0, max(0, need)))
+    aligned = jax.lax.dynamic_slice_in_dim(padded, offset, need)
+    return decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
+                          modulation=modulation, cfg=cfg)
+
+
 def decode(samples, guard_bands: bool = False,
            modulation: Modulation = Modulation.BPSK,
            cfg: FrameConfig = DEFAULT_CONFIG,
@@ -122,10 +138,11 @@ def decode(samples, guard_bands: bool = False,
     Host-driven: pulls the sync offset to the host, pads the tail chunk with
     zeros like split_into_chunks (src/receiver.rs:192-210), parses the header
     and truncates to packet_length.  Raises DecodeError like the reference's
-    early bail on short input.
+    early bail on short input.  All device work stays inside jit computations
+    (some TPU runtimes mis-execute eager op-by-op dispatch).
     """
     samples = samples if isinstance(samples, jax.Array) else to_device(samples)
-    offset = int(sync_offset(samples, cfg))
+    offset = int(_sync_jit(samples, cfg))
     # The reference computes offset = peak_lag - 1 and would panic on a
     # negative cast (split_off(-1 as usize)); a clean un-delayed stream sits
     # at peak_lag 0.  Clamp small negatives to 0 — same alignment, no crash.
@@ -133,17 +150,14 @@ def decode(samples, guard_bands: bool = False,
         offset = 0
     if offset < 0 or offset > samples.shape[-1]:
         raise DecodeError(f"sync offset {offset} out of range")
-    aligned = samples[offset:]
-    if aligned.shape[-1] < (cfg.n_sync_chunks * cfg.sym_len):
+    remaining = samples.shape[-1] - offset
+    if remaining < (cfg.n_sync_chunks * cfg.sym_len):
         raise DecodeError("Input not long enough, bailing early")
 
-    n_chunks = -(-aligned.shape[-1] // cfg.sym_len)
-    pad = n_chunks * cfg.sym_len - aligned.shape[-1]
-    aligned = jnp.pad(aligned, (0, pad))
-
-    out, diag = decode_aligned(aligned, n_chunks=n_chunks,
-                               guard_bands=guard_bands, modulation=modulation,
-                               cfg=cfg)
+    n_chunks = -(-remaining // cfg.sym_len)
+    out, diag = _align_decode(samples, offset, n_chunks=n_chunks,
+                              guard_bands=guard_bands, modulation=modulation,
+                              cfg=cfg)
     raw = np.asarray(out)
     if raw.shape[-1] < HEADER_LEN:
         raise DecodeError("decoded stream shorter than header")
@@ -159,17 +173,26 @@ def decode(samples, guard_bands: bool = False,
     return payload
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation", "cfg"))
+@partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation",
+                                   "cfg", "sync_dtype", "search_window"))
 def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  guard_bands: bool = False,
                  modulation: Modulation = Modulation.BPSK,
-                 cfg: FrameConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+                 cfg: FrameConfig = DEFAULT_CONFIG,
+                 sync_dtype=None,
+                 search_window: int | None = None) -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
 
     ``n_blocks`` is the expected number of data OFDM symbols (known from the
     deployment config).  Sync offset is resolved on-device with
     ``dynamic_slice`` — no host round-trip — so the whole rx chain is one XLA
     computation.  This is the production streaming/benchmark path.
+
+    ``sync_dtype=jnp.bfloat16`` runs the sync correlation on the MXU at ~2x
+    throughput (peak detection is bf16-tolerant).  ``search_window`` bounds
+    the acquisition scan to the first W samples when the frame start is
+    approximately known (streaming reacquisition); None scans the whole
+    buffer like the reference (src/receiver.rs:20).
     """
     squeeze = samples.ndim == 1
     if squeeze:
@@ -179,7 +202,10 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     pad = max(0, need - samples.shape[-1])
     samples = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
 
-    offsets = jnp.clip(sync_offset(samples, cfg), 0, samples.shape[-1] - need)
+    scan = samples if search_window is None else \
+        samples[..., : search_window + cfg.sym_len]
+    offsets = jnp.clip(sync_offset(scan, cfg, compute_dtype=sync_dtype),
+                       0, samples.shape[-1] - need)
 
     def take(row, off):
         return jax.lax.dynamic_slice_in_dim(row, off, need, axis=0)
