@@ -1,16 +1,18 @@
 """Pallas TPU kernel: fused frame-sync correlation + power + argmax.
 
-The XLA path (ops/xcorr.py) computes the sliding correlation with an MXU
-conv, materializes the [B, T] complex correlation in HBM, then reduces it.
-This kernel fuses the whole search: each grid program DMAs an overlapping
-window of the sample stream into VMEM, accumulates the 80-tap complex
-correlation on the VPU, and reduces power -> (tile max, tile argmax) without
-ever writing the correlation out.  HBM traffic drops from ~3x the stream to
-~1x, which matters when sync scans long capture buffers.
+The XLA path (ops/xcorr.py) computes the sliding correlation with a conv,
+materializes the [B, T] complex correlation in HBM, then reduces it.  This
+kernel fuses the whole search: each grid program owns 8 batch rows (the VPU
+sublane dimension), streams overlapping [8, TILE+K-1] windows of the sample
+stream from HBM to VMEM, accumulates the 80-tap complex correlation on the
+VPU, and reduces power -> per-tile (max, argmax) — the correlation itself
+never touches HBM.
 
-Outputs per (batch, tile): max power and argmax position; the final cross-tile
-argmax (with first-occurrence tie-breaking like src/signals/mod.rs:205-214)
-is a tiny XLA reduction in ``sync_offset_pallas``.
+Outputs: [B, 2*TCOLS] f32 where column t holds tile t's max power and column
+TCOLS+t its argmax (as f32; positions < 2^24 are exact).  The final
+cross-tile argmax with first-occurrence tie-breaking (matching
+src/signals/mod.rs:205-214) is a tiny XLA reduction in
+``sync_offset_pallas``.
 """
 
 from __future__ import annotations
@@ -23,46 +25,54 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512
+TILE = 512       # lag positions per tile (VPU lane dim)
+ROWS = 8         # batch rows per program (VPU sublane dim)
+TCOLS = 128      # max tiles supported -> T <= TILE * TCOLS samples
 
 
-def _kernel(sr_hbm, si_hbm, tr_ref, ti_ref, max_ref, arg_ref,
-            sr_buf, si_buf, sems, *, k: int, t_valid: int):
-    b = pl.program_id(0)
-    tile = pl.program_id(1)
-    start = tile * TILE
+def _kernel(sr_hbm, si_hbm, tr_ref, ti_ref, out_ref, sr_buf, si_buf, sems,
+            *, k: int, t_valid: int, n_tiles: int):
+    prog = pl.program_id(0)
+    r0 = prog * ROWS
 
-    # DMA the overlapping [TILE + k - 1] window from HBM to VMEM.
-    cp0 = pltpu.make_async_copy(sr_hbm.at[b, pl.ds(start, TILE + k - 1)],
-                                sr_buf, sems.at[0])
-    cp1 = pltpu.make_async_copy(si_hbm.at[b, pl.ds(start, TILE + k - 1)],
-                                si_buf, sems.at[1])
-    cp0.start()
-    cp1.start()
-    cp0.wait()
-    cp1.wait()
+    out_ref[...] = jnp.full((ROWS, 2 * TCOLS), -1.0, jnp.float32)
 
-    def body(j, acc):
-        acc_re, acc_im = acc
-        xr = sr_buf[pl.ds(j, TILE)]
-        xi = si_buf[pl.ds(j, TILE)]
-        trj = tr_ref[j]
-        tij = ti_ref[j]
-        # (xr + j xi) * conj(trj + j tij)
-        acc_re = acc_re + xr * trj + xi * tij
-        acc_im = acc_im + xi * trj - xr * tij
-        return acc_re, acc_im
+    def tile_body(t, _):
+        start = t * TILE
+        cp0 = pltpu.make_async_copy(
+            sr_hbm.at[pl.ds(r0, ROWS), pl.ds(start, TILE + k - 1)],
+            sr_buf, sems.at[0])
+        cp1 = pltpu.make_async_copy(
+            si_hbm.at[pl.ds(r0, ROWS), pl.ds(start, TILE + k - 1)],
+            si_buf, sems.at[1])
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
 
-    zero = jnp.zeros((TILE,), jnp.float32)
-    acc_re, acc_im = jax.lax.fori_loop(0, k, body, (zero, zero))
-    power = acc_re * acc_re + acc_im * acc_im
+        def corr_body(j, acc):
+            acc_re, acc_im = acc
+            xr = sr_buf[:, pl.ds(j, TILE)]
+            xi = si_buf[:, pl.ds(j, TILE)]
+            trj = tr_ref[j]
+            tij = ti_ref[j]
+            acc_re = acc_re + xr * trj + xi * tij
+            acc_im = acc_im + xi * trj - xr * tij
+            return acc_re, acc_im
 
-    # mask positions beyond the valid scan range
-    pos = start + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0]
-    power = jnp.where(pos < t_valid, power, -1.0)
+        zero = jnp.zeros((ROWS, TILE), jnp.float32)
+        acc_re, acc_im = jax.lax.fori_loop(0, k, corr_body, (zero, zero))
+        power = acc_re * acc_re + acc_im * acc_im
 
-    max_ref[0, 0] = jnp.max(power)
-    arg_ref[0, 0] = start + jnp.argmax(power).astype(jnp.int32)
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, TILE), 1)
+        power = jnp.where(pos < t_valid, power, -1.0)
+
+        out_ref[:, t] = jnp.max(power, axis=1)
+        out_ref[:, TCOLS + t] = (start + jnp.argmax(power, axis=1)).astype(
+            jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -70,37 +80,34 @@ def _tiled_search(sr, si, tr, ti, *, k: int, interpret: bool = False):
     b_sz, t_ext = sr.shape
     t_valid = t_ext - (k - 1)
     n_tiles = -(-t_valid // TILE)
-    # pad so every tile's window load is in range
+    assert n_tiles <= TCOLS, f"stream too long for sync kernel: {n_tiles} tiles"
+    b_pad = -b_sz % ROWS
     need = n_tiles * TILE + k - 1
-    sr = jnp.pad(sr, ((0, 0), (0, need - t_ext)))
-    si = jnp.pad(si, ((0, 0), (0, need - t_ext)))
+    sr = jnp.pad(sr, ((0, b_pad), (0, need - t_ext)))
+    si = jnp.pad(si, ((0, b_pad), (0, need - t_ext)))
+    bp = b_sz + b_pad
 
-    kern = functools.partial(_kernel, k=k, t_valid=t_valid)
-    maxes, args = pl.pallas_call(
+    kern = functools.partial(_kernel, k=k, t_valid=t_valid, n_tiles=n_tiles)
+    out = pl.pallas_call(
         kern,
-        grid=(b_sz, n_tiles),
+        grid=(bp // ROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b_sz, n_tiles), jnp.float32),
-            jax.ShapeDtypeStruct((b_sz, n_tiles), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((ROWS, 2 * TCOLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 2 * TCOLS), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE + k - 1,), jnp.float32),
-            pltpu.VMEM((TILE + k - 1,), jnp.float32),
+            pltpu.VMEM((ROWS, TILE + k - 1), jnp.float32),
+            pltpu.VMEM((ROWS, TILE + k - 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(sr, si, tr, ti)
-    return maxes, args
+    return out[:b_sz, :TCOLS], out[:b_sz, TCOLS:]
 
 
 def sync_offset_pallas(samples: jnp.ndarray, template: np.ndarray,
@@ -125,7 +132,7 @@ def sync_offset_pallas(samples: jnp.ndarray, template: np.ndarray,
     maxes, args = _tiled_search(sr, si, tr, ti, k=k, interpret=interpret)
     # first-occurrence tie-break: among tiles with the global max, lowest index
     gmax = jnp.max(maxes, axis=-1, keepdims=True)
-    cand = jnp.where(maxes == gmax, args, jnp.iinfo(jnp.int32).max)
-    lag = jnp.min(cand, axis=-1)
+    cand = jnp.where(maxes == gmax, args, jnp.inf)
+    lag = jnp.min(cand, axis=-1).astype(jnp.int32)
     off = lag - 1
     return off[0] if squeeze else off

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .fft import fft, ifft
 from .shift import fft_shift
@@ -82,6 +83,35 @@ def sliding_correlation(samples: jnp.ndarray, template: jnp.ndarray,
     return out[0] if squeeze else out
 
 
+def sliding_correlation_fft(samples: jnp.ndarray, template: jnp.ndarray,
+                            fft_len: int = 4096) -> jnp.ndarray:
+    """Overlap-save sliding correlation: same output as
+    ``sliding_correlation``'s lags >= 0 region (index i = lag i), computed
+    with batched segment FFTs — O(log F) work per lag instead of O(K).
+
+    samples: complex[B, T] -> complex[B, T] (lags 0..T-1; windows past the
+    end see zeros, like the direct path).
+    """
+    squeeze = samples.ndim == 1
+    if squeeze:
+        samples = samples[None, :]
+    b, t = samples.shape
+    k = template.shape[-1]
+    step = fft_len - k + 1
+    n_seg = -(-t // step)
+    pad_to = n_seg * step + k - 1
+    x = jnp.pad(samples, ((0, 0), (0, pad_to - t)))
+    # strided overlapping segments [B, n_seg, fft_len]
+    starts = np.arange(n_seg) * step
+    idx = starts[:, None] + np.arange(fft_len)[None, :]
+    segs = x[:, idx]
+    tf = jnp.conj(jnp.fft.fft(jnp.pad(template.astype(samples.dtype),
+                                      (0, fft_len - k))))
+    c = jnp.fft.ifft(jnp.fft.fft(segs, axis=-1) * tf, axis=-1)
+    c = c[:, :, :step].reshape(b, n_seg * step)[:, :t]
+    return c[0] if squeeze else c
+
+
 def locking_sync_offset(samples: jnp.ndarray, template: jnp.ndarray,
                         compute_dtype=None) -> jnp.ndarray:
     """Frame-sync offset with reference semantics (src/receiver.rs:20-25).
@@ -90,6 +120,10 @@ def locking_sync_offset(samples: jnp.ndarray, template: jnp.ndarray,
     reference's trailing zero-padded lags can never hold the strict maximum, so
     restricting the argmax to lags >= -(K-1) is exact.  Batched over leading axes.
     """
+    if compute_dtype == "fft":
+        c = sliding_correlation_fft(samples, template)
+        power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+        return jnp.argmax(power, axis=-1) - 1      # index == lag here
     c = sliding_correlation(samples, template, compute_dtype=compute_dtype)
     k = template.shape[-1]
     power = jnp.real(c) ** 2 + jnp.imag(c) ** 2

@@ -91,17 +91,35 @@ def main():
     dt_d, _ = timeit(demod_only, aligned)
     log(f"aligned-decode only: {dt_d*1e3:.2f} ms")
 
-    # ---- 3. pallas sync kernel
+    ref_offs = np.asarray(sync_only(rxb))
+
+    # ---- 3. FFT overlap-save sync
+    try:
+        sync_fft = jax.jit(lambda s: ot.sync_offset(s, compute_dtype="fft"))
+        dt_f, offs = timeit(sync_fft, rxb)
+        match = np.array_equal(np.asarray(offs), ref_offs)
+        log(f"sync-only fft: {dt_f*1e3:.2f} ms, matches: {match}")
+    except Exception as e:
+        log("fft sync FAILED:", repr(e)[:300])
+
+    # ---- 4. pallas sync kernel
     try:
         from ofdm_tpu.kernels.sync_pallas import sync_offset_pallas
         lock = np.asarray(constants.locking_signal(80))
         pal = jax.jit(lambda s: sync_offset_pallas(s, lock))
         dt_p, offs = timeit(pal, rxb)
-        ref_offs = np.asarray(sync_only(rxb))
         match = np.array_equal(np.asarray(offs), ref_offs)
         log(f"pallas sync: {dt_p*1e3:.2f} ms, matches XLA: {match}")
     except Exception as e:
         log("pallas sync FAILED:", repr(e)[:300])
+
+    # ---- 5. aligned-decode stage split
+    from ofdm_tpu.ops.fft import dft_matmul
+    blocks = jax.block_until_ready(
+        jnp.ones((batch, nb, 64), jnp.complex64))
+    dftj = jax.jit(lambda b: dft_matmul(b))
+    dt_dft, _ = timeit(dftj, blocks)
+    log(f"dft matmul [B,nb,64]: {dt_dft*1e3:.2f} ms")
 
     log("DONE")
 
