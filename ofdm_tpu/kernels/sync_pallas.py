@@ -50,18 +50,18 @@ def _kernel(sr_hbm, si_hbm, tr_ref, ti_ref, out_ref, sr_buf, si_buf, sems,
         cp0.wait()
         cp1.wait()
 
-        def corr_body(j, acc):
-            acc_re, acc_im = acc
-            xr = sr_buf[:, pl.ds(j, TILE)]
-            xi = si_buf[:, pl.ds(j, TILE)]
+        # static unroll over the K taps: slice starts become compile-time
+        # constants, which Mosaic can lower as (unaligned) vector loads —
+        # dynamic starts would need 128-alignment proofs.
+        acc_re = jnp.zeros((ROWS, TILE), jnp.float32)
+        acc_im = jnp.zeros((ROWS, TILE), jnp.float32)
+        for j in range(k):
+            xr = sr_buf[:, j:j + TILE]
+            xi = si_buf[:, j:j + TILE]
             trj = tr_ref[j]
             tij = ti_ref[j]
             acc_re = acc_re + xr * trj + xi * tij
             acc_im = acc_im + xi * trj - xr * tij
-            return acc_re, acc_im
-
-        zero = jnp.zeros((ROWS, TILE), jnp.float32)
-        acc_re, acc_im = jax.lax.fori_loop(0, k, corr_body, (zero, zero))
         power = acc_re * acc_re + acc_im * acc_im
 
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, TILE), 1)
