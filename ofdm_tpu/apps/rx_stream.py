@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--out-dir", default=None, help="save recovered frames as PNGs")
     p.add_argument("--modulation", default="qpsk",
                    choices=[m.value for m in ot.Modulation])
+    p.add_argument("--continuous", action="store_true",
+                   help="scan each buffer for multiple frames (multi-frame demod)")
+    p.add_argument("--fec", default="rs", choices=["rs", "hamming", "none"],
+                   help="FEC codec for --continuous mode payloads")
     args = p.parse_args(argv)
 
     log = set_up_logging("rx_stream")
@@ -57,6 +61,27 @@ def main(argv=None):
             return tx_cache["tx"]
 
         source = synthetic_captures(args.buffers, 1, make_frame, args.buffer_len)
+
+    if args.continuous:
+        from ofdm_tpu.phy.streaming import coded_len, decode_continuous
+        image = args.image_bytes or "/root/reference/support/dancing.bytes"
+        raw_len = len(pathlib.Path(image).read_bytes())
+        fec = None if args.fec == "none" else args.fec
+        payload_len = coded_len(raw_len, fec)
+        n_frames = 0
+        with SampleFeed(source) as feed:
+            for i, buf in enumerate(double_buffered(feed, to_device)):
+                for pos, payload, ok in decode_continuous(
+                        buf, payload_len=payload_len, modulation=mod,
+                        fec=fec, data_len=raw_len):
+                    if not ok:
+                        log.warning("buffer %d @%d: FEC failure", i, pos)
+                        continue
+                    n_frames += 1
+                    log.info("buffer %d: frame @%d ok (%d bytes)", i, pos,
+                             payload.size)
+        log.info("continuous stream done: %d frames", n_frames)
+        return 0 if n_frames else 1
 
     n_ok = n_skip = 0
     with SampleFeed(source) as feed:

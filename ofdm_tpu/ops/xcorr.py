@@ -23,6 +23,24 @@ from .fft import fft, ifft
 from .shift import fft_shift
 
 
+def locking_sync_quality(samples: jnp.ndarray, template: jnp.ndarray,
+                         compute_dtype=None):
+    """(offset, peak_to_average) for frame detection in continuous scanning.
+
+    The reference always trusts the global argmax (src/receiver.rs:20-25);
+    when scanning long streams with noise-only regions a detection gate is
+    needed: the correlation peak-to-average power ratio is high only when the
+    locking template is actually present.
+    """
+    c = sliding_correlation(samples, template, compute_dtype=compute_dtype)
+    k = template.shape[-1]
+    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+    peak = jnp.max(power, axis=-1)
+    par = peak / (jnp.mean(power, axis=-1) + 1e-30)
+    lag = jnp.argmax(power, axis=-1) - (k - 1)
+    return lag - 1, par
+
+
 def xcorr_fft(a: jnp.ndarray, b: jnp.ndarray):
     """MATLAB-style linear cross-correlation, parity with src/signals/mod.rs:186-217.
 

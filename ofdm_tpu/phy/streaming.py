@@ -1,0 +1,141 @@
+"""Continuous multi-frame stream demodulation (BASELINE config 4).
+
+The reference's live loop decodes one frame per 2M-sample capture buffer
+(examples/jetson_rx.rs:83-113).  This module decodes *all* frames in a
+continuous stream:
+
+- ``decode_continuous``: host-driven scan for irregular frame spacing —
+  re-sync in a fixed-size acquisition window after each frame (one compiled
+  shape, so the loop stays jit-cache-friendly).
+- ``decode_regular``: the TPU fast path when frames are back-to-back or
+  evenly spaced (a transmit loop): one reshape + one batched ``decode_frame``
+  call demodulates every frame in parallel.
+
+Both compose with the pluggable FEC layer (Hamming(7,4) on-device or
+RS(255,223) host-side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, FrameConfig
+from ..fec import hamming
+from ..fec import reed_solomon as rs
+from ..packets.header import HEADER_LEN
+from .modulation import Modulation
+from .rx import decode_frame, sync_offset
+from .tx import frame_len, n_data_blocks
+
+
+def _defec(payload: np.ndarray, fec: str | None, n_bytes: int):
+    if fec is None:
+        return payload[:n_bytes], True
+    if fec == "hamming":
+        return np.asarray(hamming.decode(jnp.asarray(payload), n_bytes)), True
+    if fec == "rs":
+        out, ok = rs.decode_stream(payload)
+        return out[:n_bytes], ok
+    raise ValueError(f"unknown fec {fec!r}")
+
+
+def coded_len(n_bytes: int, fec: str | None) -> int:
+    """Payload bytes on the wire for ``n_bytes`` of user data under ``fec``."""
+    if fec is None:
+        return n_bytes
+    if fec == "hamming":
+        return hamming.encoded_len(n_bytes)
+    if fec == "rs":
+        return (n_bytes // rs.K + 1) * rs.N
+    raise ValueError(f"unknown fec {fec!r}")
+
+
+def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
+                   payload_len: int, guard_bands: bool = True,
+                   modulation: Modulation = Modulation.QPSK,
+                   fec: str | None = None, data_len: int | None = None,
+                   cfg: FrameConfig = DEFAULT_CONFIG):
+    """Decode ``n_frames`` frames at fixed ``spacing`` from one stream.
+
+    samples: complex[T]; the first frame may start anywhere within the first
+    ``spacing`` samples (a global sync resolves it).  Returns
+    (payloads [n_frames, data_len or payload_len], ok flags).
+    """
+    nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
+    flen = cfg.sync_len + nb * cfg.sym_len
+    assert spacing >= flen, f"spacing {spacing} < frame length {flen}"
+    need = n_frames * spacing + cfg.sym_len
+    pad = max(0, need - samples.shape[-1])
+    samples = jnp.pad(samples, (0, pad))
+
+    # one global sync for the first frame, then slice periodically
+    first = int(jax.jit(lambda s: sync_offset(s[: spacing + cfg.sym_len], cfg))(
+        samples))
+    first = max(first, 0)
+    rows = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(samples, first + i * spacing, flen)
+        for i in range(n_frames)])
+    out = decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
+                       modulation=modulation, cfg=cfg, search_window=cfg.sym_len)
+    raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]
+    payloads, oks = [], []
+    for r in raw:
+        p, ok = _defec(r, fec, data_len if data_len is not None else payload_len)
+        payloads.append(p)
+        oks.append(ok)
+    return np.stack(payloads), np.asarray(oks)
+
+
+def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
+                      modulation: Modulation = Modulation.QPSK,
+                      fec: str | None = None, data_len: int | None = None,
+                      acquisition: int = 4096, max_frames: int | None = None,
+                      detection_par: float = 40.0,
+                      cfg: FrameConfig = DEFAULT_CONFIG) -> Iterator[tuple]:
+    """Scan a stream for frames of a known size; yield (position, payload, ok).
+
+    Host-driven: after each decoded frame the scan resumes past it.  Frames
+    may sit at arbitrary gaps; each acquisition looks at a fixed-size window
+    so only two shapes ever compile.  Decode failures advance the window
+    rather than aborting (the reference's skip-and-continue policy,
+    examples/jetson_rx.rs:87-90).
+    """
+    samples = jnp.asarray(samples)
+    nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
+    flen = cfg.sync_len + nb * cfg.sym_len
+    window = flen + acquisition
+    n_out = data_len if data_len is not None else payload_len
+
+    from .. import constants
+    from ..ops.xcorr import locking_sync_quality
+
+    pos = 0
+    found = 0
+    t = samples.shape[-1]
+    dec = jax.jit(lambda s: decode_frame(
+        s, n_blocks=nb, guard_bands=guard_bands, modulation=modulation,
+        cfg=cfg, search_window=acquisition))
+    template = jnp.asarray(constants.locking_signal(cfg.sym_len),
+                           dtype=samples.dtype)
+    syncj = jax.jit(lambda s: locking_sync_quality(s, template))
+
+    while pos + flen <= t and (max_frames is None or found < max_frames):
+        chunk = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(samples, (0, max(0, pos + window - t))), pos, window)
+        off, par = syncj(chunk[: acquisition + cfg.sym_len])
+        off, par = int(off), float(par)
+        # detection gate: noise-only windows have PAR near the extreme-value
+        # expectation (~log T); a real locking block sits far above it
+        if off < 0 or off >= acquisition or par < detection_par:
+            pos += acquisition  # nothing here; slide the window
+            continue
+        out = np.asarray(dec(chunk))
+        payload = out[HEADER_LEN:HEADER_LEN + payload_len]
+        p, ok = _defec(payload, fec, n_out)
+        yield pos + off, p, ok
+        found += 1
+        pos += off + flen

@@ -1,0 +1,93 @@
+"""Continuous multi-frame stream demod tests (BASELINE config 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ofdm_tpu as ot
+from ofdm_tpu.fec import hamming
+from ofdm_tpu.phy.streaming import coded_len, decode_continuous, decode_regular
+
+
+@pytest.fixture(scope="module")
+def frames():
+    """4 Hamming-coded frames with distinct payloads."""
+    rng = np.random.default_rng(0)
+    datas = [rng.integers(0, 256, 96, dtype=np.uint8) for _ in range(4)]
+    coded = np.stack([np.asarray(hamming.encode(jnp.asarray(d))) for d in datas])
+    tx = np.asarray(ot.encode(coded, guard_bands=True,
+                              modulation=ot.Modulation.QPSK,
+                              dtype=jnp.complex128))
+    return datas, tx
+
+
+def test_coded_len():
+    assert coded_len(96, None) == 96
+    assert coded_len(96, "hamming") == hamming.encoded_len(96) == 168
+    assert coded_len(96, "rs") == 255
+
+
+def test_decode_regular_back_to_back(frames):
+    datas, tx = frames
+    spacing = tx.shape[1]
+    stream = jnp.asarray(tx.reshape(-1))  # frames back-to-back
+    payloads, oks = decode_regular(
+        stream, n_frames=4, spacing=spacing, payload_len=coded_len(96, "hamming"),
+        modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    assert oks.all()
+    for i in range(4):
+        np.testing.assert_array_equal(payloads[i], datas[i])
+
+
+def test_decode_regular_through_channel(frames):
+    datas, tx = frames
+    spacing = tx.shape[1] + 200
+    stream = np.zeros(4 * spacing + 100, np.complex128)
+    for i in range(4):
+        stream[i * spacing: i * spacing + tx.shape[1]] = tx[i]
+    noisy = ot.channel(jnp.asarray(stream), snr=20.0, key=jax.random.key(2))
+    payloads, oks = decode_regular(
+        noisy, n_frames=4, spacing=spacing, payload_len=coded_len(96, "hamming"),
+        modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    assert oks.all()
+    for i in range(4):
+        np.testing.assert_array_equal(payloads[i], datas[i])
+
+
+def test_decode_continuous_irregular_gaps(frames):
+    datas, tx = frames
+    rng = np.random.default_rng(5)
+    gaps = [700, 1500, 300, 2200]
+    parts = []
+    positions = []
+    pos = 0
+    for i in range(4):
+        noise = 0.001 * (rng.standard_normal(gaps[i])
+                         + 1j * rng.standard_normal(gaps[i]))
+        parts.append(noise)
+        pos += gaps[i]
+        positions.append(pos)
+        parts.append(tx[i])
+        pos += tx.shape[1]
+    stream = np.concatenate(parts)
+
+    results = list(decode_continuous(
+        jnp.asarray(stream), payload_len=coded_len(96, "hamming"),
+        modulation=ot.Modulation.QPSK, fec="hamming", data_len=96,
+        acquisition=4096))
+    assert len(results) == 4
+    for i, (found_pos, payload, ok) in enumerate(results):
+        assert ok
+        assert abs(found_pos - positions[i]) <= 2
+        np.testing.assert_array_equal(payload, datas[i])
+
+
+def test_decode_continuous_max_frames(frames):
+    _, tx = frames
+    stream = jnp.asarray(tx.reshape(-1))
+    results = list(decode_continuous(
+        stream, payload_len=coded_len(96, "hamming"),
+        modulation=ot.Modulation.QPSK, fec="hamming", data_len=96,
+        max_frames=2))
+    assert len(results) == 2
