@@ -91,6 +91,7 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
 
     # CFO estimate + global derotation (sample index spans all chunks).
     f_delta = _cfo_estimate(chunks, cfg)
+    chunk6_pre = chunks[..., 6, :]      # reference debug tap (receiver.rs:41)
     n = jnp.arange(n_chunks * sym, dtype=rd).reshape(n_chunks, sym)
     rot = jnp.exp(jax.lax.complex(jnp.zeros_like(f_delta[..., None, None] * n),
                                   -f_delta[..., None, None] * n))
@@ -110,7 +111,8 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     syms = _equalize_and_extract(eq, guard_bands, cfg)
     bits = demodulate_symbols(syms, modulation)
     out = bits_to_bytes(bits)
-    diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms}
+    diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms,
+            "chunk6_pre": chunk6_pre, "chunk6_post": chunks[..., 6, :]}
     return out, diag
 
 
@@ -158,6 +160,13 @@ def decode(samples, guard_bands: bool = False,
     out, diag = _align_decode(samples, offset, n_chunks=n_chunks,
                               guard_bands=guard_bands, modulation=modulation,
                               cfg=cfg)
+    from ..obs import taps
+    if taps.enabled():
+        # reference tap names (src/receiver.rs:41,52,58,76)
+        taps.tap("preq_correction_3a", to_host(diag["chunk6_pre"]))
+        taps.tap("post_correction_3a", to_host(diag["chunk6_post"]))
+        taps.tap("hk_estimate_3a", to_host(diag["h_k"]))
+        taps.tap("no_phaseoffset", to_host(diag["equalized"]))
     raw = np.asarray(out)
     if raw.shape[-1] < HEADER_LEN:
         raise DecodeError("decoded stream shorter than header")
