@@ -45,11 +45,16 @@ def _packed_dft_matrix(n: int, inverse: bool, dtype_name: str) -> np.ndarray:
     return packed.astype(dtype_name)
 
 
-def dft_matmul(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+def dft_matmul(x: jnp.ndarray, inverse: bool = False,
+               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """DFT over the last axis via a packed real matmul (MXU path).
 
     Matches ``jnp.fft.fft`` (forward, unnormalized) / ``jnp.fft.ifft``
     (inverse, 1/N) on the last axis for any leading batch shape.
+
+    ``precision`` trades accuracy for MXU passes: HIGHEST keeps ~f32
+    accuracy (default — channel estimation divides by these outputs);
+    DEFAULT runs single-pass bf16 inputs, fine for sync-adjacent work.
     """
     n = x.shape[-1]
     real_dtype = jnp.finfo(x.dtype).dtype.name if jnp.iscomplexobj(x) else x.dtype.name
@@ -57,7 +62,7 @@ def dft_matmul(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     xr = jnp.real(x)
     xi = jnp.imag(x)
     packed = jnp.concatenate([xr, xi], axis=-1)
-    out = jnp.matmul(packed, w, precision=jax.lax.Precision.HIGHEST,
+    out = jnp.matmul(packed, w, precision=precision,
                      preferred_element_type=packed.dtype)
     return jax.lax.complex(out[..., :n], out[..., n:])
 

@@ -90,11 +90,20 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     rd = jnp.real(aligned).dtype
 
     # CFO estimate + global derotation (sample index spans all chunks).
+    # exp(-i f (sym*c + j)) factors into an outer product of two short
+    # phasor vectors, so only n_chunks + sym transcendentals are evaluated
+    # instead of one per sample — the rest is cheap complex multiplies.
     f_delta = _cfo_estimate(chunks, cfg)
     chunk6_pre = chunks[..., 6, :]      # reference debug tap (receiver.rs:41)
-    n = jnp.arange(n_chunks * sym, dtype=rd).reshape(n_chunks, sym)
-    rot = jnp.exp(jax.lax.complex(jnp.zeros_like(f_delta[..., None, None] * n),
-                                  -f_delta[..., None, None] * n))
+    c_idx = jnp.arange(n_chunks, dtype=rd) * sym
+    j_idx = jnp.arange(sym, dtype=rd)
+
+    def phasor(angles):
+        return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
+
+    rot_c = phasor(f_delta[..., None] * c_idx)        # [..., n_chunks]
+    rot_j = phasor(f_delta[..., None] * j_idx)        # [..., sym]
+    rot = rot_c[..., :, None] * rot_j[..., None, :]
     chunks = chunks * rot.astype(chunks.dtype)
 
     # Channel estimate from the 5 training chunks.
