@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import numpy as np
 
 import ofdm_tpu as ot
 from ofdm_tpu.core.corpus import create_transmission_text, decipher_transmission_text

@@ -14,7 +14,6 @@ import jax
 import numpy as np
 
 import ofdm_tpu as ot
-from ofdm_tpu.core.corpus import decipher_transmission_colorspace
 from ofdm_tpu.fec import reed_solomon as rs
 from ofdm_tpu.obs.logging import set_up_logging
 from ofdm_tpu.packets.colors import id_to_rgb

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 import ofdm_tpu as ot
 from ofdm_tpu.core.corpus import create_transmission_text, decipher_transmission_text
 from ofdm_tpu.io.iqfile import read_iq, write_iq

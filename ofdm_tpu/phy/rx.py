@@ -24,7 +24,7 @@ the production/benchmark path).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ from ..core.transfer import to_device, to_host
 from ..ops.fft import fft
 from ..ops.xcorr import locking_sync_offset
 from ..packets.header import HEADER_LEN, Header
-from .modulation import BITS_PER_SYMBOL, Modulation, demodulate_symbols
+from .modulation import Modulation, demodulate_symbols
 
 
 class DecodeError(ValueError):

@@ -29,7 +29,7 @@ from ..fec import reed_solomon as rs
 from ..packets.header import HEADER_LEN
 from .modulation import Modulation
 from .rx import decode_frame, sync_offset
-from .tx import frame_len, n_data_blocks
+from .tx import n_data_blocks
 
 
 def _defec(payload: np.ndarray, fec: str | None, n_bytes: int):

@@ -4,7 +4,6 @@ application surface; these drive ours end-to-end on the CPU backend)."""
 import os
 
 import numpy as np
-import pytest
 
 
 def test_lab3a_loopback(capsys):

@@ -4,7 +4,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import ofdm_tpu as ot
 from ofdm_tpu import constants
 from ofdm_tpu.phy.channel import _complex_pseudo_variance, channel
 

@@ -3,7 +3,6 @@
 import json
 
 import numpy as np
-import pytest
 
 from ofdm_tpu.core.corpus import (CORPUS, create_transmission_text,
                                   decipher_transmission_colorspace,
