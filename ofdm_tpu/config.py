@@ -28,6 +28,13 @@ class FrameConfig:
     training_seed: int = 50   # src/transmitter.rs:89
     header_len_bytes: int = 16  # bincode u128 (src/packets/mod.rs:25)
 
+    # None -> the reference's fft-shifted ramp locking block
+    # (src/transmitter.rs:60-72).  The ramp's autocorrelation is nearly flat
+    # (DC-dominated), which barely localizes at sym_len > 80; setting a seed
+    # switches to a pseudorandom locking sequence with a sharp correlation
+    # peak — recommended for custom geometries.
+    locking_seed: int | None = None
+
     # Guard band / pilot layout, matching src/transmitter.rs:151-160:
     # guards: i >= 59 || i <= 5 || i == 32 ; pilots: {6, 25, 39, 58} at 1+0j
     pilot_indices: tuple[int, ...] = (6, 25, 39, 58)

@@ -47,6 +47,15 @@ def training_signals(length: int = 64, seed: int = 50) -> np.ndarray:
     return complex_uniform_sequence(seed, length, scale=1.0)
 
 
+def locking_for(cfg) -> np.ndarray:
+    """The locking block for a FrameConfig: the reference ramp by default, or
+    a seeded pseudorandom sequence (sharp autocorrelation) when
+    cfg.locking_seed is set."""
+    if cfg.locking_seed is None:
+        return locking_signal(cfg.sym_len)
+    return complex_uniform_sequence(cfg.locking_seed, cfg.sym_len, scale=0.5)
+
+
 # Fixed multipath impulse response, verbatim values from src/channel.rs:26-31
 # (the "original channel expanded onto a 64 wide block").
 CHANNEL_TAPS = np.zeros(64, dtype=np.float64)

@@ -42,7 +42,7 @@ def sharded_sync_offset(samples: jnp.ndarray, mesh,
     Covers lags >= 0 (negative lags can only win on pathological streams; the
     host path handles the clean-signal lag-0 / offset=-1 case by clamping).
     """
-    template = jnp.asarray(constants.locking_signal(cfg.sym_len),
+    template = jnp.asarray(constants.locking_for(cfg),
                            dtype=samples.dtype)
     k = cfg.sym_len
     n_time = mesh.shape[TIME_AXIS]

@@ -47,15 +47,17 @@ class DecodeError(ValueError):
 def sync_offset(samples: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG,
                 compute_dtype=None) -> jnp.ndarray:
     """Reference frame-sync offset (batched over leading axes)."""
-    template = jnp.asarray(constants.locking_signal(cfg.sym_len),
+    template = jnp.asarray(constants.locking_for(cfg),
                            dtype=samples.dtype)
     return locking_sync_offset(samples, template, compute_dtype=compute_dtype)
 
 
 def _cfo_estimate(chunks: jnp.ndarray, cfg: FrameConfig) -> jnp.ndarray:
-    """f_delta from the 4th/5th chunks (preamble pair), src/receiver.rs:231-240."""
-    left = chunks[..., 3, :]
-    right = chunks[..., 4, :]
+    """f_delta from the last two preamble chunks (src/receiver.rs:231-240 uses
+    chunks 3 and 4 — the 3rd/4th preamble repeats in the default geometry)."""
+    last = cfg.n_locking + cfg.n_preamble - 1
+    left = chunks[..., last - 1, :]
+    right = chunks[..., last, :]
     ang = jnp.angle(right / left)
     return jnp.abs(jnp.mean(ang, axis=-1) / cfg.sym_len)
 

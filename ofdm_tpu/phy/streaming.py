@@ -119,7 +119,7 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
     dec = jax.jit(lambda s: decode_frame(
         s, n_blocks=nb, guard_bands=guard_bands, modulation=modulation,
         cfg=cfg, search_window=acquisition))
-    template = jnp.asarray(constants.locking_signal(cfg.sym_len),
+    template = jnp.asarray(constants.locking_for(cfg),
                            dtype=samples.dtype)
     syncj = jax.jit(lambda s: locking_sync_quality(s, template))
 

@@ -31,7 +31,7 @@ from .modulation import BITS_PER_SYMBOL, Modulation, modulate_bits
 @lru_cache(maxsize=None)
 def _sync_prefix(cfg: FrameConfig) -> np.ndarray:
     """The constant frame prefix: locking + preambles + prefixed training."""
-    lock = constants.locking_signal(cfg.sym_len)
+    lock = constants.locking_for(cfg)
     pre = constants.preamble(cfg.sym_len, cfg.preamble_seed)
     train = constants.training_signals(cfg.n_fft, cfg.training_seed)
     t_time = np.fft.ifft(train)
