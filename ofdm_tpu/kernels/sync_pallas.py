@@ -8,11 +8,11 @@ stream from HBM to VMEM, accumulates the 80-tap complex correlation on the
 VPU, and reduces power -> per-tile (max, argmax) — the correlation itself
 never touches HBM.
 
-Outputs: [B, 2*TCOLS] f32 where column t holds tile t's max power and column
-TCOLS+t its argmax (as f32; positions < 2^24 are exact).  The final
-cross-tile argmax with first-occurrence tie-breaking (matching
-src/signals/mod.rs:205-214) is a tiny XLA reduction in
-``sync_offset_pallas``.
+The running (max power, argmax) pair is carried through the tile loop with a
+strict-greater update, which preserves the reference argmax's
+first-occurrence tie-breaking (src/signals/mod.rs:205-214); positions are
+carried as f32 (< 2^24, exact).  Output: [B, 128] with columns 0/1 holding
+the final (max, argmax) per row.
 """
 
 from __future__ import annotations
@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 512       # lag positions per tile (VPU lane dim)
 ROWS = 8         # batch rows per program (VPU sublane dim)
-TCOLS = 128      # max tiles supported -> T <= TILE * TCOLS samples
+WIN = TILE + 128  # DMA window: covers TILE + K-1 taps, 128-lane aligned
+OUT_COLS = 128   # output lane padding: col 0 = max power, col 1 = argmax
 
 
 def _kernel(sr_hbm, si_hbm, tr_ref, ti_ref, out_ref, sr_buf, si_buf, sems,
@@ -35,15 +36,14 @@ def _kernel(sr_hbm, si_hbm, tr_ref, ti_ref, out_ref, sr_buf, si_buf, sems,
     prog = pl.program_id(0)
     r0 = prog * ROWS
 
-    out_ref[...] = jnp.full((ROWS, 2 * TCOLS), -1.0, jnp.float32)
-
-    def tile_body(t, _):
+    def tile_body(t, carry):
+        best_max, best_arg = carry
         start = t * TILE
         cp0 = pltpu.make_async_copy(
-            sr_hbm.at[pl.ds(r0, ROWS), pl.ds(start, TILE + k - 1)],
+            sr_hbm.at[pl.ds(r0, ROWS), pl.ds(start, WIN)],
             sr_buf, sems.at[0])
         cp1 = pltpu.make_async_copy(
-            si_hbm.at[pl.ds(r0, ROWS), pl.ds(start, TILE + k - 1)],
+            si_hbm.at[pl.ds(r0, ROWS), pl.ds(start, WIN)],
             si_buf, sems.at[1])
         cp0.start()
         cp1.start()
@@ -67,12 +67,22 @@ def _kernel(sr_hbm, si_hbm, tr_ref, ti_ref, out_ref, sr_buf, si_buf, sems,
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (ROWS, TILE), 1)
         power = jnp.where(pos < t_valid, power, -1.0)
 
-        out_ref[:, t] = jnp.max(power, axis=1)
-        out_ref[:, TCOLS + t] = (start + jnp.argmax(power, axis=1)).astype(
-            jnp.float32)
-        return 0
+        tile_max = jnp.max(power, axis=1)
+        tile_arg = (start + jnp.argmax(power, axis=1)).astype(jnp.float32)
+        # strict > keeps the first occurrence across tiles (reference argmax
+        # tie-breaking, src/signals/mod.rs:205-214)
+        better = tile_max > best_max
+        return (jnp.where(better, tile_max, best_max),
+                jnp.where(better, tile_arg, best_arg))
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    init = (jnp.full((ROWS,), -2.0, jnp.float32),
+            jnp.zeros((ROWS,), jnp.float32))
+    best_max, best_arg = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    # build the output with masked selects (scatter is not lowerable on TPU)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, OUT_COLS), 1)
+    out = jnp.where(col == 0, best_max[:, None],
+                    jnp.where(col == 1, best_arg[:, None], 0.0))
+    out_ref[...] = out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -80,9 +90,8 @@ def _tiled_search(sr, si, tr, ti, *, k: int, interpret: bool = False):
     b_sz, t_ext = sr.shape
     t_valid = t_ext - (k - 1)
     n_tiles = -(-t_valid // TILE)
-    assert n_tiles <= TCOLS, f"stream too long for sync kernel: {n_tiles} tiles"
     b_pad = -b_sz % ROWS
-    need = n_tiles * TILE + k - 1
+    need = n_tiles * TILE + WIN
     sr = jnp.pad(sr, ((0, b_pad), (0, need - t_ext)))
     si = jnp.pad(si, ((0, b_pad), (0, need - t_ext)))
     bp = b_sz + b_pad
@@ -97,17 +106,17 @@ def _tiled_search(sr, si, tr, ti, *, k: int, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, 2 * TCOLS), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ROWS, OUT_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, 2 * TCOLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, OUT_COLS), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, TILE + k - 1), jnp.float32),
-            pltpu.VMEM((ROWS, TILE + k - 1), jnp.float32),
+            pltpu.VMEM((ROWS, WIN), jnp.float32),
+            pltpu.VMEM((ROWS, WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(sr, si, tr, ti)
-    return out[:b_sz, :TCOLS], out[:b_sz, TCOLS:]
+    return out[:b_sz, 0], out[:b_sz, 1]
 
 
 def sync_offset_pallas(samples: jnp.ndarray, template: np.ndarray,
@@ -129,10 +138,6 @@ def sync_offset_pallas(samples: jnp.ndarray, template: np.ndarray,
     tr = jnp.real(template).astype(jnp.float32)
     ti = jnp.imag(template).astype(jnp.float32)
 
-    maxes, args = _tiled_search(sr, si, tr, ti, k=k, interpret=interpret)
-    # first-occurrence tie-break: among tiles with the global max, lowest index
-    gmax = jnp.max(maxes, axis=-1, keepdims=True)
-    cand = jnp.where(maxes == gmax, args, jnp.inf)
-    lag = jnp.min(cand, axis=-1).astype(jnp.int32)
-    off = lag - 1
+    _, args = _tiled_search(sr, si, tr, ti, k=k, interpret=interpret)
+    off = args.astype(jnp.int32) - 1
     return off[0] if squeeze else off
