@@ -47,8 +47,8 @@ class DecodeError(ValueError):
 def sync_offset(samples: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG,
                 compute_dtype=None) -> jnp.ndarray:
     """Reference frame-sync offset (batched over leading axes)."""
-    template = jnp.asarray(constants.locking_for(cfg),
-                           dtype=samples.dtype)
+    dtype = np.complex64 if samples.dtype == jnp.complex64 else np.complex128
+    template = constants.locking_for(cfg).astype(dtype)
     return locking_sync_offset(samples, template, compute_dtype=compute_dtype)
 
 

@@ -72,10 +72,20 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     pad = max(0, need - samples.shape[-1])
     samples = jnp.pad(samples, (0, pad))
 
-    # one global sync for the first frame, then slice periodically
-    first = int(jax.jit(lambda s: sync_offset(s[: spacing + cfg.sym_len], cfg))(
-        samples))
-    first = max(first, 0)
+    # One sync for the first frame, then slice periodically.  The argmax is
+    # restricted to lags < spacing: with identical repeated frames the next
+    # frame's locking block correlates *exactly* as high, and summation-order
+    # rounding could otherwise hand the tie to a later peak.
+    from .. import constants
+    from ..ops.xcorr import sliding_correlation_matmul
+    template = constants.locking_for(cfg)
+
+    def _first_sync(s):
+        c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
+        power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+        return jnp.argmax(power[..., :spacing], axis=-1) - 1
+
+    first = max(int(jax.jit(_first_sync)(samples)), 0)
     rows = jnp.stack([
         jax.lax.dynamic_slice_in_dim(samples, first + i * spacing, flen)
         for i in range(n_frames)])
