@@ -77,11 +77,13 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
     return data.reshape(*data.shape[:-2], -1)
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation", "cfg"))
+@partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation",
+                                   "cfg", "dft_precision"))
 def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
                    guard_bands: bool = False,
                    modulation: Modulation = Modulation.BPSK,
-                   cfg: FrameConfig = DEFAULT_CONFIG):
+                   cfg: FrameConfig = DEFAULT_CONFIG,
+                   dft_precision=None):
     """Decode a sync-aligned stream of exactly ``n_chunks * sym_len`` samples.
 
     Returns (bytes_u8[..., n_bytes], diagnostics dict).  Batched over leading
@@ -115,9 +117,16 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
         constants.training_signals(cfg.n_fft, cfg.training_seed), dtype=chunks.dtype)
     h_k = jnp.mean(fft(training_rx) / training_ref, axis=-2)
 
-    # Data blocks: CP strip + FFT + equalize.
+    # Data blocks: CP strip + FFT + equalize.  dft_precision trades MXU
+    # passes for accuracy on the (large) data-block transform; the (small)
+    # channel-estimation transform above always stays at full precision.
+    from ..ops.fft import dft_matmul
     data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
-    eq = fft(data_t) / h_k[..., None, :]
+    if dft_precision is not None:
+        y = dft_matmul(data_t, precision=dft_precision)
+    else:
+        y = fft(data_t)
+    eq = y / h_k[..., None, :]
 
     syms = _equalize_and_extract(eq, guard_bands, cfg)
     bits = demodulate_symbols(syms, modulation)
@@ -194,13 +203,15 @@ def decode(samples, guard_bands: bool = False,
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation",
-                                   "cfg", "sync_dtype", "search_window"))
+                                   "cfg", "sync_dtype", "search_window",
+                                   "dft_precision"))
 def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  guard_bands: bool = False,
                  modulation: Modulation = Modulation.BPSK,
                  cfg: FrameConfig = DEFAULT_CONFIG,
                  sync_dtype=None,
-                 search_window: int | None = None) -> jnp.ndarray:
+                 search_window: int | None = None,
+                 dft_precision=None) -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
 
     ``n_blocks`` is the expected number of data OFDM symbols (known from the
@@ -236,5 +247,6 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     aligned = aligned.reshape(*batch_shape, need)
 
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
-                            modulation=modulation, cfg=cfg)
+                            modulation=modulation, cfg=cfg,
+                            dft_precision=dft_precision)
     return out[0] if squeeze else out
