@@ -131,12 +131,17 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
         cfg=cfg, search_window=acquisition))
     template = jnp.asarray(constants.locking_for(cfg),
                            dtype=samples.dtype)
-    syncj = jax.jit(lambda s: locking_sync_quality(s, template))
+    syncj = jax.jit(
+        lambda s: locking_sync_quality(s[: acquisition + cfg.sym_len], template))
+    # pad once up front and jit the window extraction: all device work stays
+    # inside jit (eager dispatch is unreliable on some TPU runtimes) and only
+    # one shape ever compiles.
+    padded = jax.jit(lambda s: jnp.pad(s, (0, window)))(samples)
+    take = jax.jit(lambda s, p: jax.lax.dynamic_slice_in_dim(s, p, window))
 
     while pos + flen <= t and (max_frames is None or found < max_frames):
-        chunk = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(samples, (0, max(0, pos + window - t))), pos, window)
-        off, par = syncj(chunk[: acquisition + cfg.sym_len])
+        chunk = take(padded, jnp.int32(min(pos, t)))
+        off, par = syncj(chunk)
         off, par = int(off), float(par)
         # detection gate: noise-only windows have PAR near the extreme-value
         # expectation (~log T); a real locking block sits far above it
