@@ -9,9 +9,31 @@ backend supports.  On CPU they reduce to plain asarray calls.
 
 from __future__ import annotations
 
+import logging
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("ofdm_tpu.transfer")
+
+_RETRIES = 3
+
+
+def _with_retries(fn, what: str):
+    """Some tunneled TPU runtimes sporadically fail host<->device copies with
+    UNIMPLEMENTED; the same copy succeeds on retry.  Bounded retries keep
+    streaming apps alive through the flake."""
+    for attempt in range(_RETRIES):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            if "UNIMPLEMENTED" not in str(e) or attempt == _RETRIES - 1:
+                raise
+            log.warning("%s failed (%s); retry %d", what, e, attempt + 1)
+            time.sleep(0.5 * (attempt + 1))
+    raise RuntimeError("unreachable")
 
 
 @jax.jit
@@ -24,20 +46,25 @@ def to_host(x) -> np.ndarray:
     if not isinstance(x, jax.Array):
         return np.asarray(x)
     if not jnp.iscomplexobj(x):
-        return np.asarray(x)
+        return _with_retries(lambda: np.asarray(x), "d2h")
     re, im = _split(x)
-    return np.asarray(re) + 1j * np.asarray(im)
+    return _with_retries(lambda: np.asarray(re) + 1j * np.asarray(im), "d2h")
 
 
 def to_device(x, dtype=None) -> jax.Array:
     """numpy array -> device array; complex uploads as split real/imag."""
     arr = np.asarray(x)
     if not np.iscomplexobj(arr):
-        out = jnp.asarray(arr)
+        out = _with_retries(lambda: jax.block_until_ready(jnp.asarray(arr)),
+                            "h2d")
         return out.astype(dtype) if dtype is not None else out
     cdtype = dtype or (jnp.complex128 if arr.dtype == np.complex128
                        and jax.config.jax_enable_x64 else jnp.complex64)
     rd = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
-    re = jnp.asarray(arr.real.astype(rd))
-    im = jnp.asarray(arr.imag.astype(rd))
-    return jax.jit(jax.lax.complex)(re, im)
+
+    def upload():
+        re = jnp.asarray(arr.real.astype(rd))
+        im = jnp.asarray(arr.imag.astype(rd))
+        return jax.block_until_ready(jax.jit(jax.lax.complex)(re, im))
+
+    return _with_retries(upload, "h2d")

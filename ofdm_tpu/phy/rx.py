@@ -52,12 +52,26 @@ def sync_offset(samples: jnp.ndarray, cfg: FrameConfig = DEFAULT_CONFIG,
     return locking_sync_offset(samples, template, compute_dtype=compute_dtype)
 
 
-def _cfo_estimate(chunks: jnp.ndarray, cfg: FrameConfig) -> jnp.ndarray:
+def _cfo_estimate(chunks: jnp.ndarray, cfg: FrameConfig,
+                  estimator: str = "reference") -> jnp.ndarray:
     """f_delta from the last two preamble chunks (src/receiver.rs:231-240 uses
-    chunks 3 and 4 — the 3rd/4th preamble repeats in the default geometry)."""
+    chunks 3 and 4 — the 3rd/4th preamble repeats in the default geometry).
+
+    estimator="reference": mean of per-sample angles, |.|/sym_len — exact
+    parity, including its failure when noise wraps individual angles past
+    +-pi (drift near pi, i.e. CFO draws with u -> 1; the reference comments
+    on this in src/channel.rs:50-54).
+    estimator="coherent": angle of the complex-averaged lag product
+    angle(sum right*conj(left))/sym_len — same statistic on clean signals
+    but immune to per-sample wrap outliers, extending usable CFO right up to
+    the pi/sym_len ambiguity bound.
+    """
     last = cfg.n_locking + cfg.n_preamble - 1
     left = chunks[..., last - 1, :]
     right = chunks[..., last, :]
+    if estimator == "coherent":
+        corr = jnp.sum(right * jnp.conj(left), axis=-1)
+        return jnp.abs(jnp.angle(corr) / cfg.sym_len)
     ang = jnp.angle(right / left)
     return jnp.abs(jnp.mean(ang, axis=-1) / cfg.sym_len)
 
@@ -78,12 +92,12 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation",
-                                   "cfg", "dft_precision"))
+                                   "cfg", "dft_precision", "cfo_estimator"))
 def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
                    guard_bands: bool = False,
                    modulation: Modulation = Modulation.BPSK,
                    cfg: FrameConfig = DEFAULT_CONFIG,
-                   dft_precision=None):
+                   dft_precision=None, cfo_estimator: str = "reference"):
     """Decode a sync-aligned stream of exactly ``n_chunks * sym_len`` samples.
 
     Returns (bytes_u8[..., n_bytes], diagnostics dict).  Batched over leading
@@ -97,7 +111,7 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     # exp(-i f (sym*c + j)) factors into an outer product of two short
     # phasor vectors, so only n_chunks + sym transcendentals are evaluated
     # instead of one per sample — the rest is cheap complex multiplies.
-    f_delta = _cfo_estimate(chunks, cfg)
+    f_delta = _cfo_estimate(chunks, cfg, cfo_estimator)
     chunk6_pre = chunks[..., 6, :]      # reference debug tap (receiver.rs:41)
     c_idx = jnp.arange(n_chunks, dtype=rd) * sym
     j_idx = jnp.arange(sym, dtype=rd)
@@ -204,14 +218,14 @@ def decode(samples, guard_bands: bool = False,
 
 @partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation",
                                    "cfg", "sync_dtype", "search_window",
-                                   "dft_precision"))
+                                   "dft_precision", "cfo_estimator"))
 def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  guard_bands: bool = False,
                  modulation: Modulation = Modulation.BPSK,
                  cfg: FrameConfig = DEFAULT_CONFIG,
                  sync_dtype=None,
                  search_window: int | None = None,
-                 dft_precision=None) -> jnp.ndarray:
+                 dft_precision=None, cfo_estimator: str = "reference") -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
 
     ``n_blocks`` is the expected number of data OFDM symbols (known from the
@@ -248,5 +262,6 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
 
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
                             modulation=modulation, cfg=cfg,
-                            dft_precision=dft_precision)
+                            dft_precision=dft_precision,
+                            cfo_estimator=cfo_estimator)
     return out[0] if squeeze else out
