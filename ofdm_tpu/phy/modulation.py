@@ -30,6 +30,7 @@ class Modulation(enum.Enum):
     QPSK = "qpsk"
     QAM16 = "qam16"
     QAM64 = "qam64"
+    QAM256 = "qam256"
 
 
 BITS_PER_SYMBOL = {
@@ -37,6 +38,7 @@ BITS_PER_SYMBOL = {
     Modulation.QPSK: 2,
     Modulation.QAM16: 4,
     Modulation.QAM64: 6,
+    Modulation.QAM256: 8,
 }
 
 
