@@ -36,12 +36,16 @@ def main(argv=None):
     data = create_transmission_text(args.msg_bytes, ecc=False)
     tx = to_host(ot.encode(data, guard_bands=True, modulation=ot.Modulation.QPSK))
 
-    def make_frame(i):
-        key = jax.random.key(i)
-        return to_host(ot.channel(to_device(tx), snr=args.snr,
-                                  timing_error=True, key=key))
+    # Precompute all channel realizations before the capture thread starts:
+    # the producer thread must stay host-only (concurrent device access from
+    # two threads is unreliable on some TPU runtimes).
+    txd = to_device(tx)
+    frames = [to_host(ot.channel(txd, snr=args.snr, timing_error=True,
+                                 key=jax.random.key(i)))
+              for i in range(args.buffers)]
 
-    source = synthetic_captures(args.buffers, 1, make_frame, args.buffer_len)
+    source = synthetic_captures(args.buffers, 1, lambda i: frames[i],
+                                args.buffer_len)
 
     with SampleFeed(source) as feed:
         for i, buf in enumerate(feed):

@@ -51,16 +51,13 @@ def main(argv=None):
         image = args.image_bytes or "/root/reference/support/dancing.bytes"
         raw = np.frombuffer(pathlib.Path(image).read_bytes(), np.uint8)
         coded = rs.encode_stream(raw)
-        tx_cache = {}
-
-        def make_frame(i):
-            if "tx" not in tx_cache:
-                from ofdm_tpu.core.transfer import to_host
-                tx_cache["tx"] = to_host(
-                    ot.encode(coded, guard_bands=True, modulation=mod))
-            return tx_cache["tx"]
-
-        source = synthetic_captures(args.buffers, 1, make_frame, args.buffer_len)
+        # Encode on-device BEFORE the capture thread starts: the producer
+        # thread must stay host-only (concurrent device access from two
+        # threads is unreliable on some TPU runtimes).
+        from ofdm_tpu.core.transfer import to_host
+        frame = to_host(ot.encode(coded, guard_bands=True, modulation=mod))
+        source = synthetic_captures(args.buffers, 1, lambda i: frame,
+                                    args.buffer_len)
 
     if args.continuous:
         from ofdm_tpu.phy.streaming import coded_len, decode_continuous
