@@ -104,6 +104,37 @@ class TestXcorr:
         np.testing.assert_array_equal(offs, np.asarray(delays) - 1)
 
 
+class TestMatmulCorrelation:
+    def test_matches_conv_path_complex_template(self, rng):
+        from ofdm_tpu.ops.xcorr import sliding_correlation_matmul
+        for k in (16, 80, 128):
+            t = rng.standard_normal(k) + 1j * rng.standard_normal(k)
+            x = rng.standard_normal((2, 1000)) + 1j * rng.standard_normal((2, 1000))
+            ref = np.asarray(sliding_correlation(jnp.asarray(x),
+                                                 jnp.asarray(t)))[:, k - 1:]
+            mm = np.asarray(sliding_correlation_matmul(jnp.asarray(x), t))
+            np.testing.assert_allclose(mm, ref, atol=1e-9)
+
+    def test_short_stream(self, rng):
+        from ofdm_tpu.ops.xcorr import sliding_correlation_matmul
+        t = rng.standard_normal(80) + 0j
+        x = rng.standard_normal(100) + 0j
+        ref = np.asarray(sliding_correlation(jnp.asarray(x), jnp.asarray(t)))[79:]
+        mm = np.asarray(sliding_correlation_matmul(jnp.asarray(x), t))
+        np.testing.assert_allclose(mm, ref, atol=1e-9)
+
+    def test_sync_quality_gate(self, rng):
+        from ofdm_tpu.ops.xcorr import locking_sync_quality
+        lock = jnp.asarray(constants.locking_signal(80))
+        noise = 0.01 * (rng.standard_normal(2000) + 1j * rng.standard_normal(2000))
+        with_frame = noise.copy()
+        with_frame[500:580] += np.asarray(lock)
+        _, par_noise = locking_sync_quality(jnp.asarray(noise), lock)
+        off, par_frame = locking_sync_quality(jnp.asarray(with_frame), lock)
+        assert float(par_frame) > 5 * float(par_noise)
+        assert int(off) == 499
+
+
 class TestConvolve:
     def test_direct_matches_numpy(self, rng):
         x = rng.standard_normal(200) + 1j * rng.standard_normal(200)
