@@ -126,29 +126,36 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
     pos = 0
     found = 0
     t = samples.shape[-1]
-    dec = jax.jit(lambda s: decode_frame(
-        s, n_blocks=nb, guard_bands=guard_bands, modulation=modulation,
-        cfg=cfg, search_window=acquisition))
     template = jnp.asarray(constants.locking_for(cfg),
                            dtype=samples.dtype)
-    syncj = jax.jit(
-        lambda s: locking_sync_quality(s[: acquisition + cfg.sym_len], template))
-    # pad once up front and jit the window extraction: all device work stays
-    # inside jit (eager dispatch is unreliable on some TPU runtimes) and only
-    # one shape ever compiles.
-    padded = jax.jit(lambda s: jnp.pad(s, (0, window)))(samples)
-    take = jax.jit(lambda s, p: jax.lax.dynamic_slice_in_dim(s, p, window))
+    # Two fused jit graphs take (stream, pos) directly: pad + window slice +
+    # sync/decode in one computation each.  Standalone tiny executables (a
+    # bare pad) and eager dispatch are both unreliable on some TPU runtimes;
+    # substantial fused graphs are the dependable shape.
+    @jax.jit
+    def scan_at(s, p):
+        padded = jnp.pad(s, (0, window))
+        chunk = jax.lax.dynamic_slice_in_dim(padded, p, window)
+        return locking_sync_quality(chunk[: acquisition + cfg.sym_len],
+                                    template)
+
+    @jax.jit
+    def dec_at(s, p):
+        padded = jnp.pad(s, (0, window))
+        chunk = jax.lax.dynamic_slice_in_dim(padded, p, window)
+        return decode_frame(chunk, n_blocks=nb, guard_bands=guard_bands,
+                            modulation=modulation, cfg=cfg,
+                            search_window=acquisition)
 
     while pos + flen <= t and (max_frames is None or found < max_frames):
-        chunk = take(padded, jnp.int32(min(pos, t)))
-        off, par = syncj(chunk)
+        off, par = scan_at(samples, jnp.int32(min(pos, t)))
         off, par = int(off), float(par)
         # detection gate: noise-only windows have PAR near the extreme-value
         # expectation (~log T); a real locking block sits far above it
         if off < 0 or off >= acquisition or par < detection_par:
             pos += acquisition  # nothing here; slide the window
             continue
-        out = np.asarray(dec(chunk))
+        out = np.asarray(dec_at(samples, jnp.int32(min(pos, t))))
         payload = out[HEADER_LEN:HEADER_LEN + payload_len]
         p, ok = _defec(payload, fec, n_out)
         yield pos + off, p, ok
