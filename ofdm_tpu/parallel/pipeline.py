@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -42,8 +43,9 @@ def sharded_sync_offset(samples: jnp.ndarray, mesh,
     Covers lags >= 0 (negative lags can only win on pathological streams; the
     host path handles the clean-signal lag-0 / offset=-1 case by clamping).
     """
-    template = jnp.asarray(constants.locking_for(cfg),
-                           dtype=samples.dtype)
+    # numpy template (device-array closure constants d2h at lowering time)
+    tdtype = np.complex64 if samples.dtype == jnp.complex64 else np.complex128
+    template = constants.locking_for(cfg).astype(tdtype)
     k = cfg.sym_len
     n_time = mesh.shape[TIME_AXIS]
 

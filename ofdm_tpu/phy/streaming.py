@@ -126,8 +126,10 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
     pos = 0
     found = 0
     t = samples.shape[-1]
-    template = jnp.asarray(constants.locking_for(cfg),
-                           dtype=samples.dtype)
+    # numpy (not device) template: closure-captured device arrays force a
+    # complex d2h copy at jit-lowering time, which some TPU runtimes lack
+    tdtype = np.complex64 if samples.dtype == jnp.complex64 else np.complex128
+    template = constants.locking_for(cfg).astype(tdtype)
     # Two fused jit graphs take (stream, pos) directly: pad + window slice +
     # sync/decode in one computation each.  Standalone tiny executables (a
     # bare pad) and eager dispatch are both unreliable on some TPU runtimes;
