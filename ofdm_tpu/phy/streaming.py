@@ -69,28 +69,36 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     flen = cfg.sync_len + nb * cfg.sym_len
     assert spacing >= flen, f"spacing {spacing} < frame length {flen}"
     need = n_frames * spacing + cfg.sym_len
-    pad = max(0, need - samples.shape[-1])
-    samples = jnp.pad(samples, (0, pad))
 
-    # One sync for the first frame, then slice periodically.  The argmax is
-    # restricted to lags < spacing: with identical repeated frames the next
-    # frame's locking block correlates *exactly* as high, and summation-order
-    # rounding could otherwise hand the tie to a later peak.
+    # One sync for the first frame, then slice periodically — all device work
+    # in fused jit graphs (eager pad/stack is unreliable on some TPU
+    # runtimes).  The sync argmax is restricted to lags < spacing: with
+    # identical repeated frames the next frame's locking block correlates
+    # *exactly* as high, and summation-order rounding could otherwise hand
+    # the tie to a later peak.
     from .. import constants
     from ..ops.xcorr import sliding_correlation_matmul
     template = constants.locking_for(cfg)
 
+    @jax.jit
     def _first_sync(s):
+        s = jnp.pad(s, (0, max(0, need - s.shape[-1])))
         c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
         power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
         return jnp.argmax(power[..., :spacing], axis=-1) - 1
 
-    first = max(int(jax.jit(_first_sync)(samples)), 0)
-    rows = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(samples, first + i * spacing, flen)
-        for i in range(n_frames)])
-    out = decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
-                       modulation=modulation, cfg=cfg, search_window=cfg.sym_len)
+    @jax.jit
+    def _extract_and_decode(s, first):
+        s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+        rows = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
+            for i in range(n_frames)])
+        return decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
+                            modulation=modulation, cfg=cfg,
+                            search_window=cfg.sym_len)
+
+    first = max(int(_first_sync(samples)), 0)
+    out = _extract_and_decode(samples, jnp.int32(first))
     raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]
     payloads, oks = [], []
     for r in raw:
