@@ -5,12 +5,17 @@ derotation, channel estimation, equalization, pilot phase tracking, 64QAM
 hard-decision demod, bit packing) on device and prints one JSON line.
 
 Methodology notes:
-- inputs vary across iterations (4 distinct encoded+channeled buffers) so no
-  caching of identical dispatches can inflate the number;
-- timing is pipelined (block every 25 calls + final) — the steady-state
-  streaming regime — with the per-call blocking latency reported separately
-  in detail (the tunneled single-chip runtime adds ~30 ms per host sync,
-  which pipelining hides);
+- timing is dependency-chained and therefore cache-proof: step i's input is
+  mixed (at 1e-30 weight) with a carry scalar derived from step i-1's output
+  and a per-step increment, so no two dispatches are ever identical and no
+  runtime result cache or lazy-execution shortcut can elide device work;
+  fetching the final carry forces the whole chain.  (Rotating distinct
+  buffers alone is NOT sufficient on the tunneled runtime — it was observed
+  serving repeats at up to 100x the honest rate.)
+- inputs also rotate across 4 distinct encoded+channeled buffers;
+- the per-call blocking latency is reported separately in detail (the
+  tunneled single-chip runtime adds ~30 ms per host sync that steady-state
+  streaming does not pay);
 - correctness gates the number: decoded payloads must match the transmitted
   bytes for the no-CFO correctness batch.
 
@@ -72,19 +77,36 @@ def main():
     out0 = jax.block_until_ready(decode(rxs[0]))  # compile + warm
     errs = int(np.count_nonzero(np.asarray(out0)[:, 16:16 + PAYLOAD] != datas[0]))
 
-    # pipelined steady-state timing over varied inputs
+    # dependency-chained steady-state timing over varied inputs (cache-proof):
+    # the carry makes every dispatch's argument tuple unique (no result-cache
+    # hit is possible) and links step i's output into step i+1, so fetching
+    # the final carry forces every step to execute on the device.  The carry
+    # enters on the output side only — the decode itself runs on the pristine
+    # input buffer, with no extra device work added by the chaining.
+    # The carry folds in a max-reduction of the decoded bytes (a uint8 pass —
+    # ~free — that still touches every output element, so XLA cannot
+    # dead-code-eliminate any part of the batch at compile time), and grows
+    # by +1 every step so its float32 value never repeats — every dispatch's
+    # argument tuple stays unique and no result cache can ever hit.
+    @jax.jit
+    def step(s, carry):
+        out = decode(s)
+        chk = jnp.max(out).astype(jnp.float32)
+        return carry + 1.0 + chk * 1e-9
+
+    carry = step(rxs[0], jnp.float32(0.0))
+    float(carry)  # compile + warm the chained step
     t0 = time.perf_counter()
     for i in range(REPS):
-        out = decode(rxs[i % N_INPUTS])
-        if i % 25 == 24:
-            jax.block_until_ready(out)
-    jax.block_until_ready(out)
+        carry = step(rxs[i % N_INPUTS], carry)
+    float(carry)  # d2h of the final carry forces the whole chain
     dt = (time.perf_counter() - t0) / REPS
 
-    # single-call blocking latency
+    # single-call blocking latency (forced per call via the carry fetch)
     t1 = time.perf_counter()
     for i in range(5):
-        jax.block_until_ready(decode(rxs[i % N_INPUTS]))
+        carry = step(rxs[i % N_INPUTS], carry)
+        float(carry)
     lat = (time.perf_counter() - t1) / 5
 
     value = n_samples / dt
