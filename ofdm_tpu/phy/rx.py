@@ -131,23 +131,57 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
         constants.training_signals(cfg.n_fft, cfg.training_seed), dtype=chunks.dtype)
     h_k = jnp.mean(fft(training_rx) / training_ref, axis=-2)
 
-    # Data blocks: CP strip + FFT + equalize.  dft_precision trades MXU
+    # Data blocks: CP strip + DFT + equalize.  dft_precision trades MXU
     # passes for accuracy on the (large) data-block transform; the (small)
     # channel-estimation transform above always stays at full precision.
-    from ..ops.fft import dft_matmul
+    # With guard bands on, the DFT is evaluated only at the 52 used bins
+    # (48 data + 4 pilots) as a packed [.., 128] x [128, 104] matmul — the
+    # guard bins are never computed and equalize/pilot-phase/demod run on
+    # the packed layout with no 64-bin intermediate (byte-identical to the
+    # full transform; measured faster in tools/exp_xla_opt.py).
+    from ..ops.fft import dft_matmul, dft_matmul_select
     data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
-    if dft_precision is not None:
-        y = dft_matmul(data_t, precision=dft_precision)
+    prec = dft_precision if dft_precision is not None \
+        else jax.lax.Precision.HIGHEST
+    if guard_bands:
+        nd = len(cfg.data_indices)
+        sel = tuple(cfg.data_indices) + tuple(cfg.pilot_indices)
+        y = dft_matmul_select(data_t, sel, precision=prec)
+        eq = y / h_k[..., sel][..., None, :]
+        phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1, keepdims=True)
+        data = eq[..., :nd] * jnp.exp(-1j * phi.astype(eq.real.dtype)
+                                      ).astype(eq.dtype)
+        syms = data.reshape(*data.shape[:-2], -1)
     else:
-        y = fft(data_t)
-    eq = y / h_k[..., None, :]
-
-    syms = _equalize_and_extract(eq, guard_bands, cfg)
+        if dft_precision is not None:
+            y = dft_matmul(data_t, precision=dft_precision)
+        else:
+            y = fft(data_t)
+        eq = y / h_k[..., None, :]
+        syms = _equalize_and_extract(eq, guard_bands, cfg)
     bits = demodulate_symbols(syms, modulation)
     out = bits_to_bytes(bits)
     diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms,
             "chunk6_pre": chunk6_pre, "chunk6_post": chunks[..., 6, :]}
     return out, diag
+
+
+def _planar_align(flat: jnp.ndarray, offsets: jnp.ndarray,
+                  need: int) -> jnp.ndarray:
+    """Per-row alignment gather on a real/imag-stacked planar view.
+
+    complex[R, T], int[R] -> complex[R, need].  One dynamic_slice of a
+    [2, need] tile per row on float planes: on TPU this lowers ~1.4x faster
+    end-to-end than the complex row gather (tools/exp_xla_opt.py: 2.91 ->
+    2.09 ms full decode chain at the headline shape), byte-identical output.
+    """
+    f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)   # [R, 2, T]
+
+    def take(row, off):
+        return jax.lax.dynamic_slice(row, (0, off), (2, need))
+
+    a = jax.vmap(take)(f, offsets)
+    return jax.lax.complex(a[:, 0], a[:, 1])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -252,12 +286,9 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     offsets = jnp.clip(sync_offset(scan, cfg, compute_dtype=sync_dtype),
                        0, samples.shape[-1] - need)
 
-    def take(row, off):
-        return jax.lax.dynamic_slice_in_dim(row, off, need, axis=0)
-
     batch_shape = samples.shape[:-1]
     flat = samples.reshape(-1, samples.shape[-1])
-    aligned = jax.vmap(take)(flat, offsets.reshape(-1))
+    aligned = _planar_align(flat, offsets.reshape(-1), need)
     aligned = aligned.reshape(*batch_shape, need)
 
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
