@@ -95,6 +95,35 @@ def dft_matmul_select(x: jnp.ndarray, bins: tuple,
     return jax.lax.complex(out[..., :k], out[..., k:])
 
 
+@lru_cache(maxsize=None)
+def _packed_idft_rows_matrix(n: int, bins: tuple, dtype_name: str) -> np.ndarray:
+    w = _dft_matrix(n, inverse=True)[list(bins), :]        # [k, n]
+    wr, wi = w.real, w.imag
+    return np.block([[wr, wi], [-wi, wr]]).astype(dtype_name)   # [2k, 2n]
+
+
+def idft_matmul_rows(x: jnp.ndarray, bins: tuple, n: int,
+                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Inverse DFT (1/N-scaled) of a spectrum nonzero only at ``bins``.
+
+    ``x``: complex[..., k] bin values (order follows ``bins``) ->
+    complex[..., n] time samples.  The transmit-side dual of
+    ``dft_matmul_select``: with guard bands on, an OFDM block has only 52 of
+    64 bins populated, so the per-symbol IFFT is a packed
+    [.., 2k] x [2k, 2n] real matmul — the guard bins are never scattered or
+    multiplied (cf. reference scatter + full IFFT, src/transmitter.rs:144-181).
+    """
+    k = len(bins)
+    assert x.shape[-1] == k
+    real_dtype = jnp.finfo(x.dtype).dtype.name if jnp.iscomplexobj(x) \
+        else x.dtype.name
+    w = jnp.asarray(_packed_idft_rows_matrix(n, tuple(bins), real_dtype))
+    packed = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
+    out = jnp.matmul(packed, w, precision=precision,
+                     preferred_element_type=packed.dtype)
+    return jax.lax.complex(out[..., :n], out[..., n:])
+
+
 def fft(x: jnp.ndarray, use_matmul: bool | None = None) -> jnp.ndarray:
     """Forward FFT on the last axis, unnormalized (reference/rustfft semantics)."""
     if _should_use_matmul(x, use_matmul):

@@ -64,11 +64,7 @@ def symbols_to_blocks(syms: jnp.ndarray, guard_bands: bool,
     """complex[..., n_syms] -> complex[..., n_blocks, n_fft] frequency-domain
     blocks with guard/pilot layout (src/transmitter.rs:144-165).  Pads the
     final block with zeros like the reference's ``unwrap_or(0)``."""
-    carriers = cfg.carriers_per_block(guard_bands)
-    nb = -(-syms.shape[-1] // carriers)
-    pad = nb * carriers - syms.shape[-1]
-    syms = jnp.pad(syms, [(0, 0)] * (syms.ndim - 1) + [(0, pad)])
-    grouped = syms.reshape(*syms.shape[:-1], nb, carriers)
+    grouped = _group_symbols(syms, cfg.carriers_per_block(guard_bands))
     if not guard_bands:
         return grouped
     blocks = jnp.zeros((*grouped.shape[:-1], cfg.n_fft), dtype=syms.dtype)
@@ -93,17 +89,56 @@ def peak_normalize(stream: jnp.ndarray) -> jnp.ndarray:
     return stream / m[..., None]
 
 
-@partial(jax.jit, static_argnames=("guard_bands", "modulation", "cfg", "dtype"))
+@lru_cache(maxsize=None)
+def _pilot_time(cfg: FrameConfig) -> np.ndarray:
+    """Time-domain waveform of the constant pilot tones (one per block)."""
+    spec = np.zeros(cfg.n_fft, dtype=np.complex128)
+    spec[list(cfg.pilot_indices)] = cfg.pilot_value
+    return np.fft.ifft(spec)
+
+
+def _group_symbols(syms: jnp.ndarray, carriers: int) -> jnp.ndarray:
+    """complex[..., n_syms] -> complex[..., nb, carriers], zero-padded tail
+    (the reference's ``unwrap_or(0)``, src/transmitter.rs:149)."""
+    nb = -(-syms.shape[-1] // carriers)
+    pad = nb * carriers - syms.shape[-1]
+    syms = jnp.pad(syms, [(0, 0)] * (syms.ndim - 1) + [(0, pad)])
+    return syms.reshape(*syms.shape[:-1], nb, carriers)
+
+
+@partial(jax.jit, static_argnames=("guard_bands", "modulation", "cfg", "dtype",
+                                   "pack_spectrum"))
 def encode_payload(payload: jnp.ndarray, *, guard_bands: bool = False,
                    modulation: Modulation = Modulation.BPSK,
                    cfg: FrameConfig = DEFAULT_CONFIG,
-                   dtype=jnp.complex64) -> jnp.ndarray:
+                   dtype=jnp.complex64,
+                   pack_spectrum: bool | None = None) -> jnp.ndarray:
     """Jitted batched encoder: uint8[..., L] (header already prepended)
-    -> complex[..., frame_len]."""
+    -> complex[..., frame_len].
+
+    ``pack_spectrum`` (guard-bands only): evaluate the per-symbol IFFT from
+    the 48 populated data bins directly (packed [.., 96] x [96, 128] matmul +
+    the constant pilot waveform) instead of scattering into 64 bins and
+    transforming all of them — the tx-side dual of the receiver's 52-bin
+    packed DFT.  Numerically equivalent (different float summation order, so
+    last-ulp differences); ``None`` enables it for the complex64 production
+    path and keeps the scatter + full-IFFT path for complex128 so the golden
+    wire-format fixtures stay bit-exact.
+    """
+    if pack_spectrum is None:
+        pack_spectrum = guard_bands and jnp.dtype(dtype) == jnp.complex64
     bits = bytes_to_bits(payload)
     syms = modulate_bits(bits, modulation, dtype=dtype)
-    blocks = symbols_to_blocks(syms, guard_bands, cfg)
-    data_samples = blocks_to_samples(blocks, cfg)
+    if pack_spectrum and guard_bands:
+        from ..ops.fft import idft_matmul_rows
+        grouped = _group_symbols(syms, cfg.carriers_per_block(True))
+        t = idft_matmul_rows(grouped, tuple(cfg.data_indices), cfg.n_fft)
+        t = t + jnp.asarray(_pilot_time(cfg), dtype=dtype)
+        prefixed = jnp.concatenate([t[..., -cfg.cp_len:], t], axis=-1)
+        data_samples = prefixed.reshape(*prefixed.shape[:-2], -1)
+    else:
+        blocks = symbols_to_blocks(syms, guard_bands, cfg)
+        data_samples = blocks_to_samples(blocks, cfg)
     prefix = jnp.asarray(_sync_prefix(cfg), dtype=dtype)
     prefix = jnp.broadcast_to(prefix, (*data_samples.shape[:-1], prefix.shape[0]))
     return peak_normalize(jnp.concatenate([prefix, data_samples], axis=-1))

@@ -97,3 +97,28 @@ def test_header_wire_format():
     assert len(b) == 16
     assert b[:2] == bytes([0x90, 0x01]) and all(x == 0 for x in b[2:])
     assert Header.from_bytes(b).packet_length == 400
+
+
+def test_packed_spectrum_ifft_parity():
+    """The tx-side packed sparse-spectrum IFFT (48 data bins + constant pilot
+    waveform) must match the scatter + full-IFFT path to float tolerance and
+    round-trip exactly."""
+    from ofdm_tpu.phy.tx import encode_payload
+    rng = np.random.default_rng(7)
+    payload = jnp.asarray(rng.integers(0, 256, (3, 150), dtype=np.uint8))
+    for mod in (ot.Modulation.QPSK, ot.Modulation.QAM64):
+        full = np.asarray(encode_payload(payload, guard_bands=True,
+                                         modulation=mod, pack_spectrum=False))
+        packed = np.asarray(encode_payload(payload, guard_bands=True,
+                                           modulation=mod, pack_spectrum=True))
+        np.testing.assert_allclose(packed, full, atol=1e-5)
+
+
+def test_packed_spectrum_roundtrip_exact():
+    rng = np.random.default_rng(8)
+    data = rng.integers(0, 256, 100, dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=True, modulation=ot.Modulation.QAM64)
+    assert tx.dtype == jnp.complex64  # packed path active by default
+    delayed = jnp.concatenate([jnp.zeros(5, tx.dtype), tx])
+    out = ot.decode(delayed, guard_bands=True, modulation=ot.Modulation.QAM64)
+    np.testing.assert_array_equal(out[:100], data)

@@ -1,0 +1,101 @@
+"""TPU experiment: re-tune the headline decode after the planar-gather +
+packed-DFT wins (the sweet spot may have shifted).
+
+Variants, all chained cache-proof (bench.py methodology):
+  1. batch 256 production (reference point, compile-cached)
+  2. batch 256 sync_dtype=bfloat16 (sync is a larger fraction now)
+  3. batch 256 dft_precision=DEFAULT (single-pass bf16 data DFT)
+  4. batches 192 / 320 / 128 production (sweep around the old optimum)
+
+Each variant is correctness-gated on the clean (no-CFO) batch first.
+
+Run nohup'd:  setsid nohup python3 tools/exp_retune.py > /tmp/exp_retune.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import ofdm_tpu as ot
+
+PAYLOAD = 8192
+STEPS = 64
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def make_inputs(batch, nb, frame, mod):
+    rxs, datas = [], []
+    for i in range(4):
+        rng = np.random.default_rng(1000 + i)
+        d = rng.integers(0, 256, (batch, PAYLOAD), dtype=np.uint8)
+        tx = ot.encode(d, guard_bands=True, modulation=mod)
+        rx = ot.channel(tx, snr=45.0, timing_error=(i % 2 == 1),
+                        key=jax.random.key(i))
+        rx = jnp.pad(rx, ((0, 0), (0, max(0, frame - rx.shape[-1]))))
+        rxs.append(jax.block_until_ready(rx))
+        datas.append(d)
+    return rxs, datas
+
+
+def run(name, rxs, datas, nb, mod, **kw):
+    decode = lambda s: ot.decode_frame(s, n_blocks=nb, guard_bands=True,
+                                       modulation=mod, **kw)
+    out0 = np.asarray(jax.block_until_ready(jax.jit(decode)(rxs[0])))
+    errs = int(np.count_nonzero(out0[:, 16:16 + PAYLOAD] != datas[0]))
+
+    @jax.jit
+    def step(s, carry):
+        out = decode(s)
+        chk = jnp.max(out).astype(jnp.float32)
+        return carry + 1.0 + chk * 1e-9
+
+    carry = step(rxs[0], jnp.float32(0.0))
+    float(carry)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        carry = step(rxs[i % 4], carry)
+    float(carry)
+    dt = (time.perf_counter() - t0) / STEPS
+    n = rxs[0].shape[0] * rxs[0].shape[1]
+    log(f"{name:34s}: {dt*1e3:6.2f} ms  {n/dt/1e6:6.0f} MS/s  "
+        f"clean-batch byte errs={errs}")
+
+
+def main():
+    log("backend:", jax.default_backend())
+    mod = ot.Modulation.QAM64
+    nb = ot.n_data_blocks(PAYLOAD, mod, True)
+    frame = 880 + nb * 80
+
+    rxs, datas = make_inputs(256, nb, frame, mod)
+    run("b256 production", rxs, datas, nb, mod)
+    run("b256 sync bf16", rxs, datas, nb, mod, sync_dtype=jnp.bfloat16)
+    run("b256 dft DEFAULT", rxs, datas, nb, mod,
+        dft_precision=jax.lax.Precision.DEFAULT)
+    run("b256 sync bf16 + dft DEFAULT", rxs, datas, nb, mod,
+        sync_dtype=jnp.bfloat16, dft_precision=jax.lax.Precision.DEFAULT)
+    del rxs
+
+    for batch in (192, 320, 128):
+        rxs, datas = make_inputs(batch, nb, frame, mod)
+        run(f"b{batch} production", rxs, datas, nb, mod)
+        del rxs
+
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()
