@@ -167,18 +167,34 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
 
 
 def _planar_align(flat: jnp.ndarray, offsets: jnp.ndarray,
-                  need: int) -> jnp.ndarray:
+                  need: int, impl: str = "auto") -> jnp.ndarray:
     """Per-row alignment gather on a real/imag-stacked planar view.
 
-    complex[R, T], int[R] -> complex[R, need].  One dynamic_slice of a
-    [2, need] tile per row on float planes: on TPU this lowers ~1.4x faster
-    end-to-end than the complex row gather (tools/exp_xla_opt.py: 2.91 ->
-    2.09 ms full decode chain at the headline shape), byte-identical output.
+    complex[R, T], int[R] -> complex[R, need].  Two byte-identical
+    implementations:
+
+    - "xla": one dynamic_slice of a [2, need] tile per row on float planes —
+      ~1.4x faster end-to-end than the complex row gather
+      (tools/exp_xla_opt.py), and 2x faster than per-plane / concatenated
+      layouts (tools/exp_align2.py).
+    - "pallas": VMEM-resident tile-dim slice + aligned lane rotate
+      (kernels/align_pallas.py) — another ~1.3x over the XLA gather at the
+      headline shape (tools/exp_align_pallas.py: 0.655 vs 0.864 ms).
+
+    "auto" picks pallas on the TPU backend for complex64, xla elsewhere
+    (Pallas TPU kernels don't run on the CPU backend outside interpret mode).
     """
+    if impl == "auto":
+        impl = "pallas" if (flat.dtype == jnp.complex64 and
+                            jax.devices()[0].platform == "tpu") else "xla"
+    if impl == "pallas":
+        from ..kernels.align_pallas import planar_align
+        return planar_align(flat, offsets, need)
     f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)   # [R, 2, T]
 
     def take(row, off):
-        return jax.lax.dynamic_slice(row, (0, off), (2, need))
+        return jax.lax.dynamic_slice(row, (jnp.zeros((), off.dtype), off),
+                                     (2, need))
 
     a = jax.vmap(take)(f, offsets)
     return jax.lax.complex(a[:, 0], a[:, 1])
@@ -252,14 +268,16 @@ def decode(samples, guard_bands: bool = False,
 
 @partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation",
                                    "cfg", "sync_dtype", "search_window",
-                                   "dft_precision", "cfo_estimator"))
+                                   "dft_precision", "cfo_estimator",
+                                   "align_impl"))
 def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  guard_bands: bool = False,
                  modulation: Modulation = Modulation.BPSK,
                  cfg: FrameConfig = DEFAULT_CONFIG,
                  sync_dtype=None,
                  search_window: int | None = None,
-                 dft_precision=None, cfo_estimator: str = "reference") -> jnp.ndarray:
+                 dft_precision=None, cfo_estimator: str = "reference",
+                 align_impl: str = "auto") -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
 
     ``n_blocks`` is the expected number of data OFDM symbols (known from the
@@ -288,7 +306,7 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
 
     batch_shape = samples.shape[:-1]
     flat = samples.reshape(-1, samples.shape[-1])
-    aligned = _planar_align(flat, offsets.reshape(-1), need)
+    aligned = _planar_align(flat, offsets.reshape(-1), need, impl=align_impl)
     aligned = aligned.reshape(*batch_shape, need)
 
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,

@@ -112,3 +112,21 @@ def test_fused_decode_single_row_and_offset():
                                         guard_bands=True, modulation=mod,
                                         interpret=True))
     np.testing.assert_array_equal(got[16:16 + payload], d[0])
+
+
+def test_planar_align_pallas_matches_xla():
+    """The Pallas alignment-copy kernel (tile-dim slice + lane rotate with
+    cross-tile carry) must be bit-identical to the XLA planar gather for
+    offsets hitting every alignment class (0, <128, =128 boundary, >128)."""
+    from ofdm_tpu.kernels.align_pallas import planar_align
+    from ofdm_tpu.phy.rx import _planar_align
+
+    rng = np.random.default_rng(3)
+    t, need = 2100, 1700
+    flat = jnp.asarray((rng.standard_normal((7, t))
+                        + 1j * rng.standard_normal((7, t))).astype(np.complex64))
+    offs = jnp.asarray(np.array([0, 1, 127, 128, 129, 300, t - need],
+                                dtype=np.int32))
+    ref = np.asarray(_planar_align(flat, offs, need, impl="xla"))
+    pal = np.asarray(planar_align(flat, offs, need, interpret=True))
+    np.testing.assert_array_equal(pal, ref)
