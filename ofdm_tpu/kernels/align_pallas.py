@@ -29,8 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(offs_ref, in_ref, out_ref, *, n_out_tiles):
-    off = offs_ref[pl.program_id(0)]
+def _take_window(in_ref, off, n_out_tiles):
+    """[2, n_out_tiles, 128] window of in_ref starting at sample ``off``:
+    tile-dim dynamic slice at off // 128, then an aligned lane rotate by
+    off % 128 with a cross-tile carry select."""
     q = off // 128
     s = off - q * 128
     w = in_ref[0, :, pl.ds(q, n_out_tiles + 1), :]       # [2, T+1, 128]
@@ -38,7 +40,12 @@ def _kernel(offs_ref, in_ref, out_ref, *, n_out_tiles):
     down = jnp.concatenate([rolled[:, 1:, :], rolled[:, :1, :]], axis=1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
     sel = jnp.where(lanes < 128 - s, rolled, down)
-    out_ref[0] = sel[:, :n_out_tiles, :]
+    return sel[:, :n_out_tiles, :]
+
+
+def _kernel(offs_ref, in_ref, out_ref, *, n_out_tiles):
+    off = offs_ref[pl.program_id(0)]
+    out_ref[0] = _take_window(in_ref, off, n_out_tiles)
 
 
 def planar_align(flat: jnp.ndarray, offsets: jnp.ndarray, need: int,
@@ -67,5 +74,95 @@ def planar_align(flat: jnp.ndarray, offsets: jnp.ndarray, need: int,
         out_shape=jax.ShapeDtypeStruct((r, 2, n_out_tiles, 128), f.dtype),
         interpret=interpret,
     )(offsets.astype(jnp.int32), f)
+    a = out.reshape(r, 2, n_out_tiles * 128)[:, :, :need]
+    return jax.lax.complex(a[:, 0], a[:, 1])
+
+
+def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
+                       n_lag_tiles):
+    """Fused frame sync + alignment, one VMEM-resident pass per row.
+
+    The banded-Toeplitz correlation matmul is the same math as
+    ops/xcorr.py sliding_correlation_matmul (c[lag] = sum_j s[lag+j]
+    conj(tpl[j]), lag = 128*tile + lane); the offset is the reference's
+    argmax(power) - 1 (src/receiver.rs:20-25) clipped to [0, t - need], and
+    the aligned window is written directly — the stream is never re-read
+    from HBM for alignment.
+    """
+    sr = in_ref[0, 0]                                    # [tiles, 128]
+    si = in_ref[0, 1]
+    n_tiles = sr.shape[0]
+    # +1-tile shifted views via static sublane roll (slicing at sublane
+    # offset 1 yields a layout Mosaic cannot concatenate or matmul)
+    srn = pltpu.roll(sr, shift=n_tiles - 1, axis=0)      # out[i] = sr[i+1]
+    sin = pltpu.roll(si, shift=n_tiles - 1, axis=0)
+    # decomposed [.., 512] x [512, 256] product: four partial matmuls over
+    # the Toeplitz row-blocks (Mosaic cannot concatenate the rolled views)
+    n = n_lag_tiles
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    c = (dot(sr[:n], w_ref[0:128, :]) + dot(srn[:n], w_ref[128:256, :])
+         + dot(si[:n], w_ref[256:384, :]) + dot(sin[:n], w_ref[384:512, :]))
+    cre, cim = c[:, :128], c[:, 128:]
+    power = cre * cre + cim * cim                        # [n_lag_tiles, 128]
+    tiles_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
+    lanes_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
+    lag = tiles_i * 128 + lanes_i
+    p = jnp.where(lag < t, power, -1.0)
+    # first-occurrence argmax without dynamic indexing: min lag among maxima
+    peak = jnp.max(p)
+    idx = jnp.min(jnp.where(p == peak, lag, jnp.int32(2 * t)))
+    off = jnp.clip(idx - 1, 0, t - need)
+    out_ref[0] = _take_window(in_ref, off, n_out_tiles)
+
+
+def sync_align(flat: jnp.ndarray, template, need: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """Fused sync+align: complex[R, T] -> complex[R, need] starting at each
+    row's frame-sync offset (reference argmax semantics, clipped to
+    [0, T - need]).  Byte-equivalent to sync_offset + _planar_align; the
+    correlation reduction order differs from the XLA matmul, so a near-tie
+    between peak lags (possible only on frames already lost to CFO aliasing
+    or noise) may resolve to a different, equally-valid peak.
+
+    Measured 1.13 vs 1.30 ms for the full decode chain at the headline
+    shape (tools/exp_sync_align.py); identical bad-row sets and identical
+    good-row bytes on all test batches.
+    """
+    import numpy as np
+
+    from ..ops.xcorr import _TEMPLATE_STORE, _toeplitz_template
+
+    r, t = flat.shape
+    tpl = np.asarray(template)
+    k = tpl.shape[-1]
+    assert k <= 128, "sync_align supports templates up to 128 taps"
+    key = (tpl.tobytes(), k)
+    _TEMPLATE_STORE[key] = tpl
+    w = jnp.asarray(_toeplitz_template(key, k, "float32"))   # [512, 256]
+
+    n_lag_tiles = -(-t // 128)
+    n_out_tiles = -(-need // 128)
+    tiles = max(n_lag_tiles + 1, (t - need) // 128 + n_out_tiles + 1)
+    f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)
+    f = jnp.pad(f, ((0, 0), (0, 0), (0, tiles * 128 - t)))
+    f = f.reshape(r, 2, tiles, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 2, tiles, 128), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((512, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, n_out_tiles, 128),
+                               lambda i: (i, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sync_align_kernel, t=t, need=need,
+                          n_out_tiles=n_out_tiles, n_lag_tiles=n_lag_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, 2, n_out_tiles, 128), jnp.float32),
+        interpret=interpret,
+    )(f, w)
     a = out.reshape(r, 2, n_out_tiles * 128)[:, :, :need]
     return jax.lax.complex(a[:, 0], a[:, 1])

@@ -285,6 +285,11 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     ``dynamic_slice`` — no host round-trip — so the whole rx chain is one XLA
     computation.  This is the production streaming/benchmark path.
 
+    ``align_impl`` selects the sync/alignment lowering: "auto" (default)
+    uses the fused Pallas sync+align kernel on the TPU backend (complex64,
+    full-buffer scan), falling back to the XLA sync + Pallas/XLA alignment
+    gather; "fused" / "pallas" / "xla" force a path.
+
     ``sync_dtype=jnp.bfloat16`` runs the sync correlation on the MXU at ~2x
     throughput (peak detection is bf16-tolerant).  ``search_window`` bounds
     the acquisition scan to the first W samples when the frame start is
@@ -299,14 +304,28 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     pad = max(0, need - samples.shape[-1])
     samples = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
 
-    scan = samples if search_window is None else \
-        samples[..., : search_window + cfg.sym_len]
-    offsets = jnp.clip(sync_offset(scan, cfg, compute_dtype=sync_dtype),
-                       0, samples.shape[-1] - need)
-
     batch_shape = samples.shape[:-1]
     flat = samples.reshape(-1, samples.shape[-1])
-    aligned = _planar_align(flat, offsets.reshape(-1), need, impl=align_impl)
+
+    impl = align_impl
+    template = constants.locking_for(cfg)
+    if impl == "auto" and (samples.dtype == jnp.complex64
+                           and jax.devices()[0].platform == "tpu"
+                           and search_window is None and sync_dtype is None
+                           and template.shape[-1] <= 128):
+        impl = "fused"
+    if impl == "fused":
+        # one VMEM-resident Pallas pass: correlation matmul + argmax +
+        # aligned window write — the stream is read from HBM exactly once
+        # (kernels/align_pallas.py sync_align)
+        from ..kernels.align_pallas import sync_align
+        aligned = sync_align(flat, template.astype(np.complex64), need)
+    else:
+        scan = samples if search_window is None else \
+            samples[..., : search_window + cfg.sym_len]
+        offsets = jnp.clip(sync_offset(scan, cfg, compute_dtype=sync_dtype),
+                           0, samples.shape[-1] - need)
+        aligned = _planar_align(flat, offsets.reshape(-1), need, impl=impl)
     aligned = aligned.reshape(*batch_shape, need)
 
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,

@@ -130,3 +130,26 @@ def test_planar_align_pallas_matches_xla():
     ref = np.asarray(_planar_align(flat, offs, need, impl="xla"))
     pal = np.asarray(planar_align(flat, offs, need, interpret=True))
     np.testing.assert_array_equal(pal, ref)
+
+
+def test_fused_sync_align_matches_xla():
+    """The fused sync+align kernel must reproduce sync_offset + planar
+    alignment exactly on well-separated peaks (delays spanning tile
+    boundaries and the clip edge)."""
+    from ofdm_tpu.config import DEFAULT_CONFIG
+    from ofdm_tpu.kernels.align_pallas import sync_align
+    from ofdm_tpu.phy.rx import _planar_align, sync_offset
+
+    tpl = np.asarray(constants.locking_for(DEFAULT_CONFIG)).astype(np.complex64)
+    t, need = 2560, 2400
+    delays = [0, 1, 63, 127, 128, 129, 150, 200]
+    rng = np.random.default_rng(5)
+    s = 0.01 * (rng.standard_normal((len(delays), t))
+                + 1j * rng.standard_normal((len(delays), t)))
+    for i, d in enumerate(delays):
+        s[i, d:d + 80] += tpl
+    s = jnp.asarray(s.astype(np.complex64))
+    offs = jnp.clip(sync_offset(s, DEFAULT_CONFIG), 0, t - need)
+    ref = np.asarray(_planar_align(s, offs, need, impl="xla"))
+    got = np.asarray(sync_align(s, tpl, need, interpret=True))
+    np.testing.assert_array_equal(got, ref)
