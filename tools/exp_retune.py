@@ -89,7 +89,7 @@ def main():
         sync_dtype=jnp.bfloat16, dft_precision=jax.lax.Precision.DEFAULT)
     del rxs
 
-    for batch in (192, 320, 128):
+    for batch in (384, 512, 192):
         rxs, datas = make_inputs(batch, nb, frame, mod)
         run(f"b{batch} production", rxs, datas, nb, mod)
         del rxs
