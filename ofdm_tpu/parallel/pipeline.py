@@ -85,6 +85,67 @@ def decode_frame_sharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
                                cfg=cfg)
 
 
+def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
+                           payload_len: int, guard_bands: bool = True,
+                           modulation: Modulation = Modulation.QPSK,
+                           fec: str | None = None, data_len: int | None = None,
+                           cfg: FrameConfig = DEFAULT_CONFIG):
+    """Multi-frame streaming decode distributed over the mesh.
+
+    The distributed counterpart of ``phy.streaming.decode_regular`` (the
+    reference's live loop decodes one frame per capture buffer on one core —
+    examples/jetson_rx.rs:83-113; here every frame of the stream decodes in
+    parallel across the mesh): one global sync resolves the first frame
+    start, the frame windows are extracted into rows laid out over the
+    ``data`` axis, and the batched rx chain runs with zero cross-device
+    communication.  FEC (Hamming on-device / RS host-side) composes on the
+    gathered payloads exactly as in the single-device path.
+
+    Returns (payloads [n_frames, data_len or payload_len], ok flags).
+    """
+    from ..phy import streaming as _s
+    from ..ops.xcorr import sliding_correlation_matmul
+
+    nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
+    flen = cfg.sync_len + nb * cfg.sym_len
+    assert spacing >= flen, f"spacing {spacing} < frame length {flen}"
+    n_dev = mesh.shape[DATA_AXIS]
+    n_rows = -(-n_frames // n_dev) * n_dev        # pad rows to the data axis
+    need = n_rows * spacing + cfg.sym_len
+    tdtype = np.complex64 if samples.dtype == jnp.complex64 else np.complex128
+    template = constants.locking_for(cfg).astype(tdtype)
+
+    @jax.jit
+    def _first_sync(s):
+        s = jnp.pad(s, (0, max(0, need - s.shape[-1])))
+        c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
+        power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+        return jnp.argmax(power[..., :spacing], axis=-1) - 1
+
+    @partial(jax.jit,
+             out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))
+    def _extract(s, first):
+        s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+        return jnp.stack([
+            jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
+            for i in range(n_rows)])
+
+    first = max(int(_first_sync(samples)), 0)
+    rows = _extract(samples, jnp.int32(first))
+    out = rx_mod.decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
+                              modulation=modulation, cfg=cfg,
+                              search_window=cfg.sym_len)
+    from ..packets.header import HEADER_LEN
+    raw = np.asarray(out)[:n_frames, HEADER_LEN:HEADER_LEN + payload_len]
+    payloads, oks = [], []
+    for r in raw:
+        p, ok = _s._defec(r, fec, data_len if data_len is not None
+                          else payload_len)
+        payloads.append(p)
+        oks.append(ok)
+    return np.stack(payloads), np.asarray(oks)
+
+
 def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
                        modulation: Modulation = Modulation.QAM64,
                        snr: float = 45.0, timing_error: bool = True,

@@ -86,3 +86,33 @@ def test_pipeline_step_qam64(rng):
     data = jnp.asarray(rng.integers(0, 256, (4, 32), dtype=np.uint8))
     _, errs = step(data, jax.random.key(4))
     assert int(errs) == 0
+
+
+def test_decode_regular_sharded_matches_single_device(rng):
+    """Sharded multi-frame streaming decode == the single-device path."""
+    from ofdm_tpu.fec import hamming
+    from ofdm_tpu.parallel.pipeline import decode_regular_sharded
+    from ofdm_tpu.phy.streaming import decode_regular
+
+    mesh = make_mesh(n_data=8, n_time=1)
+    datas = [rng.integers(0, 256, 96, dtype=np.uint8) for _ in range(6)]
+    coded = np.stack([np.asarray(hamming.encode(jnp.asarray(d)))
+                      for d in datas])
+    tx = np.asarray(ot.encode(coded, guard_bands=True,
+                              modulation=ot.Modulation.QPSK,
+                              dtype=jnp.complex128))
+    spacing = tx.shape[-1] + 160
+    stream = np.zeros(37 + 6 * spacing, dtype=tx.dtype)
+    for i in range(6):
+        stream[37 + i * spacing: 37 + i * spacing + tx.shape[-1]] = tx[i]
+    stream = jnp.asarray(stream)
+
+    kw = dict(n_frames=6, spacing=spacing, payload_len=coded.shape[-1],
+              guard_bands=True, modulation=ot.Modulation.QPSK,
+              fec="hamming", data_len=96)
+    p1, ok1 = decode_regular(stream, **kw)
+    p8, ok8 = decode_regular_sharded(stream, mesh, **kw)
+    np.testing.assert_array_equal(p1, p8)
+    np.testing.assert_array_equal(ok1, ok8)
+    np.testing.assert_array_equal(p8, np.stack(datas))
+    assert ok8.all()
