@@ -96,6 +96,59 @@ def dft_matmul_select(x: jnp.ndarray, bins: tuple,
 
 
 @lru_cache(maxsize=None)
+def _packed_dft_select_matrix_padded(n: int, bins: tuple, n_out: int,
+                                     dtype_name: str) -> np.ndarray:
+    w = _packed_dft_select_matrix(n, bins, dtype_name)
+    k = len(bins)
+    out = np.zeros((w.shape[0], 2 * n_out), dtype=w.dtype)
+    out[:, :k] = w[:, :k]
+    out[:, n_out:n_out + k] = w[:, k:]
+    return out
+
+
+def dft_matmul_select_planar(x: jnp.ndarray, bins: tuple,
+                             precision=jax.lax.Precision.HIGHEST,
+                             n_out: int | None = None):
+    """``dft_matmul_select`` with planar (yr, yi) f32 outputs.
+
+    Identical math to ``dft_matmul_select`` — the packed [.., 2n] x [2n, 2k]
+    product is split column-wise into two [.., 2n] x [2n, k] matmuls (same
+    K-reduction per output element; the backend may tile the reduction
+    differently, so results agree to ~f32 rounding rather than bitwise) —
+    but the real/imag planes land in separate arrays that feed the fused
+    Pallas demod kernel (kernels/demod_pallas.py) with no complex re-pack or
+    lane slicing.  Total padded MXU columns are unchanged
+    (2 x pad128(k) vs pad128(2k) for the k=52 guard-band case: 256 = 256).
+
+    ``n_out``: zero-pad each plane to ``n_out`` columns *inside the matmul*
+    (zero columns in the weight matrix — free on the MXU, whose tiles are
+    128-padded anyway).  Pallas consumers use n_out=128 so every physical
+    lane of the planes holds a defined value: Mosaic tile padding is
+    undefined, and letting garbage lanes enter a downstream K-padded matmul
+    reduction corrupts output bytes (the root cause of the rx_fused kernel's
+    long-unexplained ~0.24% hardware mismatch — see tools/exp_demod_tail.py).
+    """
+    n = x.shape[-1]
+    k = len(bins)
+    real_dtype = jnp.finfo(x.dtype).dtype.name if jnp.iscomplexobj(x) \
+        else x.dtype.name
+    if n_out is None:
+        w = jnp.asarray(_packed_dft_select_matrix(n, tuple(bins), real_dtype))
+        ko = k
+    else:
+        assert n_out >= k
+        w = jnp.asarray(_packed_dft_select_matrix_padded(
+            n, tuple(bins), n_out, real_dtype))
+        ko = n_out
+    packed = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
+    yr = jnp.matmul(packed, w[:, :ko], precision=precision,
+                    preferred_element_type=packed.dtype)
+    yi = jnp.matmul(packed, w[:, ko:], precision=precision,
+                    preferred_element_type=packed.dtype)
+    return yr, yi
+
+
+@lru_cache(maxsize=None)
 def _packed_idft_rows_matrix(n: int, bins: tuple, dtype_name: str) -> np.ndarray:
     w = _dft_matrix(n, inverse=True)[list(bins), :]        # [k, n]
     wr, wi = w.real, w.imag

@@ -92,16 +92,27 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation",
-                                   "cfg", "dft_precision", "cfo_estimator"))
+                                   "cfg", "dft_precision", "cfo_estimator",
+                                   "demod_impl"))
 def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
                    guard_bands: bool = False,
                    modulation: Modulation = Modulation.BPSK,
                    cfg: FrameConfig = DEFAULT_CONFIG,
-                   dft_precision=None, cfo_estimator: str = "reference"):
+                   dft_precision=None, cfo_estimator: str = "reference",
+                   demod_impl: str = "xla"):
     """Decode a sync-aligned stream of exactly ``n_chunks * sym_len`` samples.
 
     Returns (bytes_u8[..., n_bytes], diagnostics dict).  Batched over leading
     axes.  The stream must start at the locking block (post sync trim).
+
+    ``demod_impl`` selects the post-DFT tail lowering: "xla" (default) runs
+    equalize/pilot-phase/demod/pack as XLA fusions; "pallas" runs them as one
+    VMEM-resident Pallas pass (kernels/demod_pallas.py — TPU production path,
+    selected by decode_frame's auto mode); "interpret" is the pallas path in
+    interpret mode (CPU-testable).  The pallas tail equalizes by the
+    precomputed reciprocal channel (y * (1/h) instead of y / h) and uses a
+    polynomial atan2 for the pilot phase (~2e-4 rad) — sub-ulp-of-a-decision
+    deviations at any workable SNR; byte equality is gated by tests.
     """
     sym = cfg.sym_len
     chunks = aligned[..., : n_chunks * sym].reshape(*aligned.shape[:-1], n_chunks, sym)
@@ -139,13 +150,35 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     # guard bins are never computed and equalize/pilot-phase/demod run on
     # the packed layout with no 64-bin intermediate (byte-identical to the
     # full transform; measured faster in tools/exp_xla_opt.py).
-    from ..ops.fft import dft_matmul, dft_matmul_select
+    from ..ops.fft import dft_matmul, dft_matmul_select, dft_matmul_select_planar
     data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
     prec = dft_precision if dft_precision is not None \
         else jax.lax.Precision.HIGHEST
     if guard_bands:
         nd = len(cfg.data_indices)
         sel = tuple(cfg.data_indices) + tuple(cfg.pilot_indices)
+    else:
+        nd = cfg.n_fft
+        sel = tuple(range(cfg.n_fft))
+    if demod_impl in ("pallas", "interpret"):
+        from ..kernels.demod_pallas import eq_demod_pack
+        # n_out=128: every physical lane of the planes is a defined value
+        # (zero beyond the selected bins) — Mosaic tile padding is undefined
+        # and must never reach a K-padded matmul reduction (ops/fft.py note)
+        n_out = max(128, len(sel))
+        yr, yi = dft_matmul_select_planar(data_t, sel, precision=prec,
+                                          n_out=n_out)
+        invh = 1.0 / h_k[..., sel]
+        invh = jnp.pad(invh, [(0, 0)] * (invh.ndim - 1)
+                       + [(0, n_out - len(sel))])
+        out = eq_demod_pack(yr, yi, invh, n_data=nd,
+                            n_pilots=len(cfg.pilot_indices) if guard_bands else 0,
+                            modulation=modulation,
+                            interpret=(demod_impl == "interpret"))
+        diag = {"f_delta": f_delta, "h_k": h_k, "equalized": None,
+                "chunk6_pre": chunk6_pre, "chunk6_post": chunks[..., 6, :]}
+        return out, diag
+    if guard_bands:
         y = dft_matmul_select(data_t, sel, precision=prec)
         eq = y / h_k[..., sel][..., None, :]
         phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1, keepdims=True)
@@ -269,7 +302,7 @@ def decode(samples, guard_bands: bool = False,
 @partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation",
                                    "cfg", "sync_dtype", "search_window",
                                    "dft_precision", "cfo_estimator",
-                                   "align_impl"))
+                                   "align_impl", "demod_impl"))
 def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  guard_bands: bool = False,
                  modulation: Modulation = Modulation.BPSK,
@@ -277,7 +310,8 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  sync_dtype=None,
                  search_window: int | None = None,
                  dft_precision=None, cfo_estimator: str = "reference",
-                 align_impl: str = "auto") -> jnp.ndarray:
+                 align_impl: str = "auto",
+                 demod_impl: str = "auto") -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
 
     ``n_blocks`` is the expected number of data OFDM symbols (known from the
@@ -295,6 +329,11 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     the acquisition scan to the first W samples when the frame start is
     approximately known (streaming reacquisition); None scans the whole
     buffer like the reference (src/receiver.rs:20).
+
+    ``demod_impl``: "auto" (default) runs the post-DFT tail (equalize +
+    pilot phase + demod + byte pack) as one fused Pallas VMEM pass on the
+    TPU backend for complex64 whole-byte blocks, XLA fusions elsewhere;
+    "pallas" / "xla" force a path (see decode_aligned).
     """
     squeeze = samples.ndim == 1
     if squeeze:
@@ -328,8 +367,14 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
         aligned = _planar_align(flat, offsets.reshape(-1), need, impl=impl)
     aligned = aligned.reshape(*batch_shape, need)
 
+    # "auto" resolves to the XLA tail: the fused Pallas tail measured SLOWER
+    # on the attached chip (1.85 vs 1.24 ms at the headline shape — XLA's
+    # own fusions already keep the tail short, and the planar-DFT feed reads
+    # the packed input twice); see tools/exp_demod_tail.py and
+    # docs/BENCHMARKS.md.  "pallas" forces the kernel path.
+    demod = "xla" if demod_impl == "auto" else demod_impl
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
                             modulation=modulation, cfg=cfg,
                             dft_precision=dft_precision,
-                            cfo_estimator=cfo_estimator)
+                            cfo_estimator=cfo_estimator, demod_impl=demod)
     return out[0] if squeeze else out
