@@ -54,6 +54,44 @@ def coded_len(n_bytes: int, fec: str | None) -> int:
     raise ValueError(f"unknown fec {fec!r}")
 
 
+# Module-level jitted graphs, cached by their static configuration: a
+# streaming server calls decode_regular/decode_continuous once per capture
+# buffer, and closures defined inside those functions would retrace (and on
+# remote-compile TPU runtimes recompile, minutes per graph) on EVERY buffer.
+# Hoisting them here makes repeated calls at one deployment shape hit the
+# jit cache (locked by tests/test_streaming.py::test_no_retrace_across_calls).
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("spacing", "need", "cfg"))
+def _first_sync(s, *, spacing: int, need: int, cfg: FrameConfig):
+    # The sync argmax is restricted to lags < spacing: with identical
+    # repeated frames the next frame's locking block correlates *exactly*
+    # as high, and summation-order rounding could otherwise hand the tie
+    # to a later peak.
+    from .. import constants
+    from ..ops.xcorr import sliding_correlation_matmul
+    template = constants.locking_for(cfg)
+    s = jnp.pad(s, (0, max(0, need - s.shape[-1])))
+    c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
+    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+    return jnp.argmax(power[..., :spacing], axis=-1) - 1
+
+
+@_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
+                                    "flen", "guard_bands", "modulation", "cfg"))
+def _extract_and_decode(s, first, *, n_frames: int, spacing: int, need: int,
+                        nb: int, flen: int, guard_bands: bool,
+                        modulation: Modulation, cfg: FrameConfig):
+    s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+    rows = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
+        for i in range(n_frames)])
+    return decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
+                        modulation=modulation, cfg=cfg,
+                        search_window=cfg.sym_len)
+
+
 def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                    payload_len: int, guard_bands: bool = True,
                    modulation: Modulation = Modulation.QPSK,
@@ -72,33 +110,12 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
 
     # One sync for the first frame, then slice periodically — all device work
     # in fused jit graphs (eager pad/stack is unreliable on some TPU
-    # runtimes).  The sync argmax is restricted to lags < spacing: with
-    # identical repeated frames the next frame's locking block correlates
-    # *exactly* as high, and summation-order rounding could otherwise hand
-    # the tie to a later peak.
-    from .. import constants
-    from ..ops.xcorr import sliding_correlation_matmul
-    template = constants.locking_for(cfg)
-
-    @jax.jit
-    def _first_sync(s):
-        s = jnp.pad(s, (0, max(0, need - s.shape[-1])))
-        c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
-        power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
-        return jnp.argmax(power[..., :spacing], axis=-1) - 1
-
-    @jax.jit
-    def _extract_and_decode(s, first):
-        s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
-        rows = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
-            for i in range(n_frames)])
-        return decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
-                            modulation=modulation, cfg=cfg,
-                            search_window=cfg.sym_len)
-
-    first = max(int(_first_sync(samples)), 0)
-    out = _extract_and_decode(samples, jnp.int32(first))
+    # runtimes).
+    first = max(int(_first_sync(samples, spacing=spacing, need=need, cfg=cfg)), 0)
+    out = _extract_and_decode(samples, jnp.int32(first), n_frames=n_frames,
+                              spacing=spacing, need=need, nb=nb, flen=flen,
+                              guard_bands=guard_bands, modulation=modulation,
+                              cfg=cfg)
     raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]
     payloads, oks = [], []
     for r in raw:
@@ -106,6 +123,34 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
         payloads.append(p)
         oks.append(ok)
     return np.stack(payloads), np.asarray(oks)
+
+
+# Fused jit graphs taking (stream, pos) directly: pad + window slice +
+# sync/decode in one computation each.  Standalone tiny executables (a bare
+# pad) and eager dispatch are both unreliable on some TPU runtimes;
+# substantial fused graphs are the dependable shape.  The locking template
+# stays a numpy constant inside the trace: closure-captured device arrays
+# force a complex d2h copy at jit-lowering time, which some runtimes lack.
+@_partial(jax.jit, static_argnames=("window", "acquisition", "cfg"))
+def _scan_at(s, p, *, window: int, acquisition: int, cfg: FrameConfig):
+    from .. import constants
+    from ..ops.xcorr import locking_sync_quality
+    tdtype = np.complex64 if s.dtype == jnp.complex64 else np.complex128
+    template = constants.locking_for(cfg).astype(tdtype)
+    padded = jnp.pad(s, (0, window))
+    chunk = jax.lax.dynamic_slice_in_dim(padded, p, window)
+    return locking_sync_quality(chunk[: acquisition + cfg.sym_len], template)
+
+
+@_partial(jax.jit, static_argnames=("window", "nb", "guard_bands",
+                                    "modulation", "acquisition", "cfg"))
+def _dec_at(s, p, *, window: int, nb: int, guard_bands: bool,
+            modulation: Modulation, acquisition: int, cfg: FrameConfig):
+    padded = jnp.pad(s, (0, window))
+    chunk = jax.lax.dynamic_slice_in_dim(padded, p, window)
+    return decode_frame(chunk, n_blocks=nb, guard_bands=guard_bands,
+                        modulation=modulation, cfg=cfg,
+                        search_window=acquisition)
 
 
 def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
@@ -128,44 +173,24 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
     window = flen + acquisition
     n_out = data_len if data_len is not None else payload_len
 
-    from .. import constants
-    from ..ops.xcorr import locking_sync_quality
-
     pos = 0
     found = 0
     t = samples.shape[-1]
-    # numpy (not device) template: closure-captured device arrays force a
-    # complex d2h copy at jit-lowering time, which some TPU runtimes lack
-    tdtype = np.complex64 if samples.dtype == jnp.complex64 else np.complex128
-    template = constants.locking_for(cfg).astype(tdtype)
-    # Two fused jit graphs take (stream, pos) directly: pad + window slice +
-    # sync/decode in one computation each.  Standalone tiny executables (a
-    # bare pad) and eager dispatch are both unreliable on some TPU runtimes;
-    # substantial fused graphs are the dependable shape.
-    @jax.jit
-    def scan_at(s, p):
-        padded = jnp.pad(s, (0, window))
-        chunk = jax.lax.dynamic_slice_in_dim(padded, p, window)
-        return locking_sync_quality(chunk[: acquisition + cfg.sym_len],
-                                    template)
-
-    @jax.jit
-    def dec_at(s, p):
-        padded = jnp.pad(s, (0, window))
-        chunk = jax.lax.dynamic_slice_in_dim(padded, p, window)
-        return decode_frame(chunk, n_blocks=nb, guard_bands=guard_bands,
-                            modulation=modulation, cfg=cfg,
-                            search_window=acquisition)
 
     while pos + flen <= t and (max_frames is None or found < max_frames):
-        off, par = scan_at(samples, jnp.int32(min(pos, t)))
+        off, par = _scan_at(samples, jnp.int32(min(pos, t)), window=window,
+                            acquisition=acquisition, cfg=cfg)
         off, par = int(off), float(par)
         # detection gate: noise-only windows have PAR near the extreme-value
         # expectation (~log T); a real locking block sits far above it
         if off < 0 or off >= acquisition or par < detection_par:
             pos += acquisition  # nothing here; slide the window
             continue
-        out = np.asarray(dec_at(samples, jnp.int32(min(pos, t))))
+        out = np.asarray(_dec_at(samples, jnp.int32(min(pos, t)),
+                                 window=window, nb=nb,
+                                 guard_bands=guard_bands,
+                                 modulation=modulation,
+                                 acquisition=acquisition, cfg=cfg))
         payload = out[HEADER_LEN:HEADER_LEN + payload_len]
         p, ok = _defec(payload, fec, n_out)
         yield pos + off, p, ok

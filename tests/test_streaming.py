@@ -91,3 +91,33 @@ def test_decode_continuous_max_frames(frames):
         modulation=ot.Modulation.QPSK, fec="hamming", data_len=96,
         max_frames=2))
     assert len(results) == 2
+
+
+def test_no_retrace_across_calls(frames):
+    """Streaming graphs are module-level jits: a server decoding one buffer
+    per call must hit the jit cache, not retrace (remote-compile TPU
+    runtimes pay minutes per recompilation)."""
+    from ofdm_tpu.phy import streaming as st
+
+    datas, tx = frames
+    spacing = tx.shape[1]
+    plen = coded_len(96, "hamming")
+    stream = jnp.asarray(tx.reshape(-1))
+
+    decode_regular(stream, n_frames=4, spacing=spacing, payload_len=plen,
+                   modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    sizes = (st._first_sync._cache_size(), st._extract_and_decode._cache_size())
+    # second buffer, same deployment shape -> zero new traces
+    decode_regular(stream + 0, n_frames=4, spacing=spacing, payload_len=plen,
+                   modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    assert (st._first_sync._cache_size(),
+            st._extract_and_decode._cache_size()) == sizes
+
+    list(decode_continuous(stream, payload_len=plen,
+                           modulation=ot.Modulation.QPSK, fec="hamming",
+                           data_len=96, acquisition=256))
+    sizes = (st._scan_at._cache_size(), st._dec_at._cache_size())
+    list(decode_continuous(stream + 0, payload_len=plen,
+                           modulation=ot.Modulation.QPSK, fec="hamming",
+                           data_len=96, acquisition=256))
+    assert (st._scan_at._cache_size(), st._dec_at._cache_size()) == sizes
