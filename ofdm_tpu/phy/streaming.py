@@ -117,9 +117,15 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                               guard_bands=guard_bands, modulation=modulation,
                               cfg=cfg)
     raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]
+    n_bytes = data_len if data_len is not None else payload_len
+    if fec == "hamming":
+        # one batched bit-matmul decode for all frames (hamming.decode is
+        # batched over leading axes) instead of a device call per frame
+        payloads = np.asarray(hamming.decode(jnp.asarray(raw), n_bytes))
+        return payloads, np.ones(n_frames, bool)
     payloads, oks = [], []
     for r in raw:
-        p, ok = _defec(r, fec, data_len if data_len is not None else payload_len)
+        p, ok = _defec(r, fec, n_bytes)
         payloads.append(p)
         oks.append(ok)
     return np.stack(payloads), np.asarray(oks)
