@@ -17,7 +17,7 @@ Three building blocks:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,22 @@ def decode_frame_sharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
                                cfg=cfg)
 
 
+@lru_cache(maxsize=None)
+def _extract_rows(mesh, need: int, spacing: int, flen: int, n_rows: int,
+                  cfg: FrameConfig):
+    """Cached sharded frame-window extractor: repeated streaming calls at one
+    deployment shape must hit the jit cache, not retrace (Mesh and cfg are
+    both hashable, so the jit is memoized per configuration)."""
+    @partial(jax.jit,
+             out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))
+    def _extract(s, first):
+        s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+        return jnp.stack([
+            jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
+            for i in range(n_rows)])
+    return _extract
+
+
 def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
                            payload_len: int, guard_bands: bool = True,
                            modulation: Modulation = Modulation.QPSK,
@@ -104,7 +120,6 @@ def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
     Returns (payloads [n_frames, data_len or payload_len], ok flags).
     """
     from ..phy import streaming as _s
-    from ..ops.xcorr import sliding_correlation_matmul
 
     nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
     flen = cfg.sync_len + nb * cfg.sym_len
@@ -112,26 +127,11 @@ def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
     n_dev = mesh.shape[DATA_AXIS]
     n_rows = -(-n_frames // n_dev) * n_dev        # pad rows to the data axis
     need = n_rows * spacing + cfg.sym_len
-    tdtype = np.complex64 if samples.dtype == jnp.complex64 else np.complex128
-    template = constants.locking_for(cfg).astype(tdtype)
 
-    @jax.jit
-    def _first_sync(s):
-        s = jnp.pad(s, (0, max(0, need - s.shape[-1])))
-        c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
-        power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
-        return jnp.argmax(power[..., :spacing], axis=-1) - 1
-
-    @partial(jax.jit,
-             out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))
-    def _extract(s, first):
-        s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
-        return jnp.stack([
-            jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
-            for i in range(n_rows)])
-
-    first = max(int(_first_sync(samples)), 0)
-    rows = _extract(samples, jnp.int32(first))
+    first = max(int(_s._first_sync(samples, spacing=spacing, need=need,
+                                   cfg=cfg)), 0)
+    rows = _extract_rows(mesh, need, spacing, flen, n_rows, cfg)(
+        samples, jnp.int32(first))
     out = rx_mod.decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
                               modulation=modulation, cfg=cfg,
                               search_window=cfg.sym_len)
