@@ -116,3 +116,29 @@ def test_decode_regular_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(ok1, ok8)
     np.testing.assert_array_equal(p8, np.stack(datas))
     assert ok8.all()
+
+
+def test_decode_regular_sharded_no_retrace(rng):
+    """Repeated sharded streaming calls at one deployment shape hit the
+    extractor cache (a server decodes one buffer per call)."""
+    from ofdm_tpu.fec import hamming
+    from ofdm_tpu.parallel.pipeline import _extract_rows, decode_regular_sharded
+
+    mesh = make_mesh(n_data=4, n_time=2)
+    datas = [rng.integers(0, 256, 48, dtype=np.uint8) for _ in range(4)]
+    coded = np.stack([np.asarray(hamming.encode(jnp.asarray(d)))
+                      for d in datas])
+    tx = np.asarray(ot.encode(coded, guard_bands=True,
+                              modulation=ot.Modulation.QPSK,
+                              dtype=jnp.complex128))
+    stream = jnp.asarray(tx.reshape(-1))
+    kw = dict(n_frames=4, spacing=tx.shape[-1], payload_len=coded.shape[-1],
+              guard_bands=True, modulation=ot.Modulation.QPSK,
+              fec="hamming", data_len=48)
+    p1, ok1 = decode_regular_sharded(stream, mesh, **kw)
+    size = _extract_rows.cache_info().currsize
+    p2, ok2 = decode_regular_sharded(stream + 0, mesh, **kw)
+    assert _extract_rows.cache_info().currsize == size
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(p1, np.stack(datas))
