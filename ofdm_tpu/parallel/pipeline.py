@@ -94,10 +94,10 @@ def _extract_rows(mesh, need: int, spacing: int, flen: int, n_rows: int,
     @partial(jax.jit,
              out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))
     def _extract(s, first):
+        # one contiguous slice + reshape (see phy.streaming._extract_and_decode)
         s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
-        return jnp.stack([
-            jax.lax.dynamic_slice_in_dim(s, first + i * spacing, flen)
-            for i in range(n_rows)])
+        return jax.lax.dynamic_slice_in_dim(
+            s, first, n_rows * spacing).reshape(n_rows, spacing)[:, :flen]
     return _extract
 
 

@@ -79,15 +79,31 @@ def main():
             st._first_sync(s, spacing=spacing, need=need, cfg=cfg),
             0).astype(jnp.int32)
         sp = jnp.pad(s, (0, cfg.sym_len))
-        rows = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(sp, first + i * spacing, flen)
-            for i in range(N_FRAMES)])
+        rows = jax.lax.dynamic_slice_in_dim(
+            sp, first, N_FRAMES * spacing).reshape(N_FRAMES, spacing)[:, :flen]
         out, _ = decode_aligned(rows, n_chunks=n_chunks, guard_bands=True,
                                 modulation=mod, cfg=cfg)
         chk = jnp.max(out).astype(jnp.float32)
         return carry + 1.0 + chk * 1e-9, out
 
-    for name, fn in [("resync", step), ("presync", step_presync)]:
+    @jax.jit
+    def step_presync_planar(s, carry):
+        first = jnp.maximum(
+            st._first_sync(s, spacing=spacing, need=need, cfg=cfg),
+            0).astype(jnp.int32)
+        sp = jnp.pad(s, (0, cfg.sym_len))
+        f = jnp.stack([jnp.real(sp), jnp.imag(sp)])          # [2, T] planar
+        w = jax.lax.dynamic_slice(f, (jnp.zeros((), first.dtype), first),
+                                  (2, N_FRAMES * spacing))
+        rows = jax.lax.complex(w[0], w[1]).reshape(
+            N_FRAMES, spacing)[:, :flen]
+        out, _ = decode_aligned(rows, n_chunks=n_chunks, guard_bands=True,
+                                modulation=mod, cfg=cfg)
+        chk = jnp.max(out).astype(jnp.float32)
+        return carry + 1.0 + chk * 1e-9, out
+
+    for name, fn in [("resync", step), ("presync", step_presync),
+                     ("presync_planar", step_presync_planar)]:
         carry, out0 = fn(streams[0], jnp.float32(0.0))
         out0 = jax.block_until_ready(out0)
         errs = int(np.count_nonzero(
