@@ -94,16 +94,43 @@ def _extract_and_decode(s, first, *, n_frames: int, spacing: int, need: int,
                         search_window=cfg.sym_len)
 
 
+@_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
+                                    "flen", "guard_bands", "modulation", "cfg"))
+def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
+                                need: int, nb: int, flen: int,
+                                guard_bands: bool, modulation: Modulation,
+                                cfg: FrameConfig):
+    # With exact spacing the global sync fully determines every frame start:
+    # extract rows and run the aligned decoder directly — no per-row re-sync
+    # or alignment gather at all (3.76 vs 3.22 GS/s at the 256-frame 64QAM
+    # streaming shape, tools/exp_stream_tpu.py).
+    from .rx import decode_aligned
+    s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+    rows = jax.lax.dynamic_slice_in_dim(
+        s, first, n_frames * spacing).reshape(n_frames, spacing)[:, :flen]
+    out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
+                            guard_bands=guard_bands, modulation=modulation,
+                            cfg=cfg)
+    return out
+
+
 def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                    payload_len: int, guard_bands: bool = True,
                    modulation: Modulation = Modulation.QPSK,
                    fec: str | None = None, data_len: int | None = None,
+                   resync: bool = True,
                    cfg: FrameConfig = DEFAULT_CONFIG):
     """Decode ``n_frames`` frames at fixed ``spacing`` from one stream.
 
     samples: complex[T]; the first frame may start anywhere within the first
     ``spacing`` samples (a global sync resolves it).  Returns
     (payloads [n_frames, data_len or payload_len], ok flags).
+
+    ``resync=True`` (default) re-syncs every frame within a one-symbol window
+    — robust to sample-clock drift across a long capture.  ``resync=False``
+    trusts the global sync and spacing exactly (a transmit loop replaying a
+    fixed frame at fixed cadence) and skips the per-row sync/alignment
+    entirely — ~17% faster at the 256-frame 64QAM streaming shape.
     """
     nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
     flen = cfg.sync_len + nb * cfg.sym_len
@@ -114,10 +141,11 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     # in fused jit graphs (eager pad/stack is unreliable on some TPU
     # runtimes).
     first = max(int(_first_sync(samples, spacing=spacing, need=need, cfg=cfg)), 0)
-    out = _extract_and_decode(samples, jnp.int32(first), n_frames=n_frames,
-                              spacing=spacing, need=need, nb=nb, flen=flen,
-                              guard_bands=guard_bands, modulation=modulation,
-                              cfg=cfg)
+    fn = _extract_and_decode if resync else _extract_and_decode_presync
+    out = fn(samples, jnp.int32(first), n_frames=n_frames,
+             spacing=spacing, need=need, nb=nb, flen=flen,
+             guard_bands=guard_bands, modulation=modulation,
+             cfg=cfg)
     raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]
     n_bytes = data_len if data_len is not None else payload_len
     if fec == "hamming":

@@ -121,3 +121,35 @@ def test_no_retrace_across_calls(frames):
                            modulation=ot.Modulation.QPSK, fec="hamming",
                            data_len=96, acquisition=256))
     assert (st._scan_at._cache_size(), st._dec_at._cache_size()) == sizes
+
+
+def test_decode_regular_presync_matches(frames):
+    """resync=False (trust global sync + exact spacing) == resync=True."""
+    datas, tx = frames
+    spacing = tx.shape[1]
+    stream = jnp.asarray(tx.reshape(-1))
+    kw = dict(n_frames=4, spacing=spacing, payload_len=coded_len(96, "hamming"),
+              modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    p1, ok1 = decode_regular(stream, resync=True, **kw)
+    p2, ok2 = decode_regular(stream, resync=False, **kw)
+    np.testing.assert_array_equal(p1, p2)
+    assert ok1.all() and ok2.all()
+    for i in range(4):
+        np.testing.assert_array_equal(p2[i], datas[i])
+
+
+def test_decode_regular_presync_through_channel(frames):
+    """presync survives a noisy delayed channel (global sync finds `first`)."""
+    datas, tx = frames
+    spacing = tx.shape[1]
+    stream = np.zeros(4 * spacing + 300, np.complex128)
+    for i in range(4):
+        stream[123 + i * spacing: 123 + i * spacing + spacing] = tx[i]
+    noisy = ot.channel(jnp.asarray(stream), snr=20.0, key=jax.random.key(9))
+    p, ok = decode_regular(noisy, n_frames=4, spacing=spacing,
+                           payload_len=coded_len(96, "hamming"),
+                           modulation=ot.Modulation.QPSK, fec="hamming",
+                           data_len=96, resync=False)
+    assert ok.all()
+    for i in range(4):
+        np.testing.assert_array_equal(p[i], datas[i])
