@@ -13,7 +13,7 @@ from .obs.analysis import Analysis
 from .phy.channel import channel
 from .phy.modulation import Modulation
 from .phy.rx import DecodeError, decode, decode_aligned, decode_frame, sync_offset
-from .phy.streaming import decode_continuous, decode_regular
+from .phy.streaming import decode_burst, decode_continuous, decode_regular
 from .phy.tx import encode, encode_payload, frame_len, n_data_blocks
 
 __version__ = "0.1.0"
@@ -27,6 +27,7 @@ __all__ = [
     "channel",
     "decode",
     "decode_aligned",
+    "decode_burst",
     "decode_continuous",
     "decode_frame",
     "decode_regular",

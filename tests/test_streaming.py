@@ -153,3 +153,92 @@ def test_decode_regular_presync_through_channel(frames):
     assert ok.all()
     for i in range(4):
         np.testing.assert_array_equal(p[i], datas[i])
+
+
+def test_decode_burst_matches_continuous(frames):
+    """Two-dispatch batched burst decode == the host-driven scan loop."""
+    from ofdm_tpu.phy.streaming import decode_burst
+
+    datas, tx = frames
+    rng = np.random.default_rng(5)
+    gaps = [700, 1500, 300, 2200]
+    parts, positions, pos = [], [], 0
+    for i in range(4):
+        noise = 0.001 * (rng.standard_normal(gaps[i])
+                         + 1j * rng.standard_normal(gaps[i]))
+        parts.append(noise)
+        pos += gaps[i]
+        positions.append(pos)
+        parts.append(tx[i])
+        pos += tx.shape[1]
+    stream = jnp.asarray(np.concatenate(parts))
+
+    kw = dict(payload_len=coded_len(96, "hamming"),
+              modulation=ot.Modulation.QPSK, fec="hamming", data_len=96,
+              acquisition=4096)
+    burst = decode_burst(stream, **kw)
+    cont = list(decode_continuous(stream, **kw))
+    assert len(burst) == len(cont) == 4
+    for i, ((bp, bd, bok), (cp, cd, cok)) in enumerate(zip(burst, cont)):
+        assert bok and cok
+        assert abs(bp - positions[i]) <= 2
+        np.testing.assert_array_equal(bd, datas[i])
+        np.testing.assert_array_equal(bd, cd)
+
+
+def test_decode_burst_clean_positions(frames):
+    """No channel, no noise: burst positions land exactly on frame starts
+    and decode byte-exact (probes the sync offset convention directly)."""
+    from ofdm_tpu.phy.streaming import decode_burst
+
+    datas, tx = frames
+    positions = [523, 523 + tx.shape[1] + 977]
+    stream = np.zeros(positions[-1] + tx.shape[1] + 401, tx.dtype)
+    for i, p in enumerate(positions):
+        stream[p: p + tx.shape[1]] = tx[i]
+
+    results = decode_burst(jnp.asarray(stream),
+                           payload_len=coded_len(96, "hamming"),
+                           modulation=ot.Modulation.QPSK, fec="hamming",
+                           data_len=96, acquisition=2048)
+    assert len(results) == 2
+    for i, (p, d, ok) in enumerate(results):
+        assert ok
+        assert abs(p - positions[i]) <= 1
+        np.testing.assert_array_equal(d, datas[i])
+
+
+def test_decode_burst_empty_and_max(frames):
+    from ofdm_tpu.phy.streaming import decode_burst
+
+    _, tx = frames
+    kw = dict(payload_len=coded_len(96, "hamming"),
+              modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    noise = 0.001 * np.random.default_rng(0).standard_normal(40000).astype(
+        np.complex128)
+    assert decode_burst(jnp.asarray(noise), **kw) == []
+    stream = jnp.asarray(np.asarray(tx).reshape(-1))
+    assert len(decode_burst(stream, max_frames=2, **kw)) == 2
+
+
+def test_decode_burst_through_channel(frames):
+    """Burst detection survives multipath + AWGN + CFO (rho gate holds)."""
+    from ofdm_tpu.phy.streaming import decode_burst
+
+    datas, tx = frames
+    gaps = [900, 1200, 400, 1800]
+    parts, pos = [], 0
+    for i in range(4):
+        parts.append(np.zeros(gaps[i], tx.dtype))
+        parts.append(tx[i])
+    stream = np.concatenate(parts)
+    noisy = ot.channel(jnp.asarray(stream), snr=25.0, timing_error=True,
+                       key=jax.random.key(5))
+
+    results = decode_burst(noisy, payload_len=coded_len(96, "hamming"),
+                           modulation=ot.Modulation.QPSK, fec="hamming",
+                           data_len=96)
+    assert len(results) == 4
+    for i, (p, d, ok) in enumerate(results):
+        assert ok
+        np.testing.assert_array_equal(d, datas[i])
