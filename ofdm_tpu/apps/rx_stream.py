@@ -38,6 +38,9 @@ def main(argv=None):
                    choices=[m.value for m in ot.Modulation])
     p.add_argument("--continuous", action="store_true",
                    help="scan each buffer for multiple frames (multi-frame demod)")
+    p.add_argument("--scan-loop", action="store_true",
+                   help="with --continuous: use the host-driven scan loop "
+                        "(decode_continuous) instead of the batched burst decoder")
     p.add_argument("--fec", default="rs", choices=["rs", "hamming", "none"],
                    help="FEC codec for --continuous mode payloads")
     args = p.parse_args(argv)
@@ -60,7 +63,8 @@ def main(argv=None):
                                     args.buffer_len)
 
     if args.continuous:
-        from ofdm_tpu.phy.streaming import coded_len, decode_continuous
+        from ofdm_tpu.phy.streaming import (coded_len, decode_burst,
+                                            decode_continuous)
         image = args.image_bytes or "/root/reference/support/dancing.bytes"
         raw_len = len(pathlib.Path(image).read_bytes())
         fec = None if args.fec == "none" else args.fec
@@ -68,9 +72,17 @@ def main(argv=None):
         n_frames = 0
         with SampleFeed(source) as feed:
             for i, buf in enumerate(double_buffered(feed, to_device)):
-                for pos, payload, ok in decode_continuous(
-                        buf, payload_len=payload_len, modulation=mod,
-                        fec=fec, data_len=raw_len):
+                # burst mode: two dispatches per buffer (batched window scan
+                # + batched decode) instead of one host sync per window
+                if args.scan_loop:
+                    found = decode_continuous(buf, payload_len=payload_len,
+                                              modulation=mod, fec=fec,
+                                              data_len=raw_len)
+                else:
+                    found = decode_burst(buf, payload_len=payload_len,
+                                         modulation=mod, fec=fec,
+                                         data_len=raw_len)
+                for pos, payload, ok in found:
                     if not ok:
                         log.warning("buffer %d @%d: FEC failure", i, pos)
                         continue

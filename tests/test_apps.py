@@ -89,3 +89,11 @@ def test_datatoframe(tmp_path):
     out = str(tmp_path / "frame.png")
     assert datatoframe.main(["--out", out]) == 0
     assert os.path.getsize(out) > 0
+
+
+def test_rx_stream_continuous_burst():
+    """--continuous default (burst) and --scan-loop both recover frames."""
+    from ofdm_tpu.apps import rx_stream
+    args = ["--buffers", "2", "--buffer-len", "32768", "--continuous"]
+    assert rx_stream.main(args) == 0
+    assert rx_stream.main(args + ["--scan-loop"]) == 0
