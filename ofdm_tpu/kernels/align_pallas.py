@@ -79,7 +79,7 @@ def planar_align(flat: jnp.ndarray, offsets: jnp.ndarray, need: int,
 
 
 def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
-                       n_lag_tiles):
+                       n_lag_tiles, lag_bound):
     """Fused frame sync + alignment, one VMEM-resident pass per row.
 
     The banded-Toeplitz correlation matmul is the same math as
@@ -107,7 +107,7 @@ def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
     tiles_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
     lanes_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
     lag = tiles_i * 128 + lanes_i
-    p = jnp.where(lag < t, power, -1.0)
+    p = jnp.where(lag < lag_bound, power, -1.0)
     # first-occurrence argmax without dynamic indexing: min lag among maxima
     peak = jnp.max(p)
     idx = jnp.min(jnp.where(p == peak, lag, jnp.int32(2 * t)))
@@ -116,13 +116,19 @@ def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
 
 
 def sync_align(flat: jnp.ndarray, template, need: int,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False,
+               search_window: int | None = None) -> jnp.ndarray:
     """Fused sync+align: complex[R, T] -> complex[R, need] starting at each
     row's frame-sync offset (reference argmax semantics, clipped to
     [0, T - need]).  Byte-equivalent to sync_offset + _planar_align; the
     correlation reduction order differs from the XLA matmul, so a near-tie
     between peak lags (possible only on frames already lost to CFO aliasing
     or noise) may resolve to a different, equally-valid peak.
+
+    ``search_window`` bounds the acquisition scan to lags
+    [0, search_window + sym_len) like decode_frame's XLA scan slice — the
+    correlation matmul then only runs over ceil(bound/128) tiles (streaming
+    reacquisition: 2 tiles instead of ~150 at the headline shape).
 
     Measured 1.13 vs 1.30 ms for the full decode chain at the headline
     shape (tools/exp_sync_align.py); identical bad-row sets and identical
@@ -140,7 +146,8 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     _TEMPLATE_STORE[key] = tpl
     w = jnp.asarray(_toeplitz_template(key, k, "float32"))   # [512, 256]
 
-    n_lag_tiles = -(-t // 128)
+    lag_bound = t if search_window is None else min(t, search_window + k)
+    n_lag_tiles = -(-lag_bound // 128)
     n_out_tiles = -(-need // 128)
     tiles = max(n_lag_tiles + 1, (t - need) // 128 + n_out_tiles + 1)
     f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)
@@ -159,7 +166,8 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     )
     out = pl.pallas_call(
         functools.partial(_sync_align_kernel, t=t, need=need,
-                          n_out_tiles=n_out_tiles, n_lag_tiles=n_lag_tiles),
+                          n_out_tiles=n_out_tiles, n_lag_tiles=n_lag_tiles,
+                          lag_bound=lag_bound),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, 2, n_out_tiles, 128), jnp.float32),
         interpret=interpret,

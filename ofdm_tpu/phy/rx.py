@@ -350,15 +350,17 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     template = constants.locking_for(cfg)
     if impl == "auto" and (samples.dtype == jnp.complex64
                            and jax.devices()[0].platform == "tpu"
-                           and search_window is None and sync_dtype is None
+                           and sync_dtype is None
                            and template.shape[-1] <= 128):
         impl = "fused"
     if impl == "fused":
         # one VMEM-resident Pallas pass: correlation matmul + argmax +
         # aligned window write — the stream is read from HBM exactly once
-        # (kernels/align_pallas.py sync_align)
+        # (kernels/align_pallas.py sync_align); search_window bounds the
+        # in-kernel lag scan (streaming reacquisition)
         from ..kernels.align_pallas import sync_align
-        aligned = sync_align(flat, template.astype(np.complex64), need)
+        aligned = sync_align(flat, template.astype(np.complex64), need,
+                             search_window=search_window)
     else:
         scan = samples if search_window is None else \
             samples[..., : search_window + cfg.sym_len]
