@@ -16,6 +16,19 @@ def test_chacha_core_known_vector():
     )
 
 
+def test_stdrng_construction_vector():
+    # rand 0.8's own value-stability test (rand/src/rngs/std.rs
+    # test_stdrng_construction): StdRng::from_seed on this 32-byte seed must
+    # yield 0x94c25463ca1c3fbe as its first next_u64().  This pins the whole
+    # wire-format-critical stack — ChaCha12 word order, block layout and the
+    # u64 little-endian word pairing — to the actual crate's published
+    # behavior, not merely to this replica's self-consistency
+    # (src/transmitter.rs:75-96 seeds StdRng for preamble/training).
+    seed = bytes([1, 0, 0, 0, 23, 0, 0, 0, 200, 1, 0, 0, 210, 30, 0, 0]
+                 + [0] * 16)
+    assert ChaChaRng(seed).next_u64() == 0x94C25463CA1C3FBE
+
+
 def test_gen_range_bounds():
     rng = ChaChaRng.seed_from_u64(123)
     vals = [rng.gen_range_f64(-1.0, 1.0) for _ in range(1000)]
