@@ -30,7 +30,6 @@ from ..config import DEFAULT_CONFIG, FrameConfig
 from ..phy import rx as rx_mod
 from ..phy.channel import channel
 from ..phy.modulation import Modulation
-from ..phy.rx import decode_aligned
 from ..phy.tx import encode_payload, n_data_blocks
 from .halo import global_argmax
 from .mesh import DATA_AXIS, TIME_AXIS
@@ -166,7 +165,11 @@ def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
     import numpy as np
 
     from ..packets.header import Header
+    from .timeshard import timesharded_decode_fn
     header = jnp.asarray(np.frombuffer(Header(payload_len).to_bytes(), np.uint8))
+    decode_ts = timesharded_decode_fn(mesh, n_blocks=nb,
+                                      guard_bands=guard_bands,
+                                      modulation=modulation, cfg=cfg)
 
     @partial(jax.jit,
              in_shardings=(NamedSharding(mesh, P(DATA_AXIS, None)), None),
@@ -181,15 +184,18 @@ def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
         need = frame + cfg.sym_len
         t_pad = -(rx.shape[-1] + need) % (n_time * cfg.sym_len) + need
         rx = jnp.pad(rx, ((0, 0), (0, t_pad)))
-        offsets = sharded_sync_offset(rx, mesh, cfg)
-        offsets = jnp.clip(offsets, 0, rx.shape[-1] - frame)
-
-        aligned = jax.vmap(
-            lambda row, off: jax.lax.dynamic_slice_in_dim(row, off, frame))(
-                rx, offsets)
-        decoded, _ = decode_aligned(aligned, n_chunks=n_chunks,
-                                    guard_bands=guard_bands,
-                                    modulation=modulation, cfg=cfg)
+        # Pin the tx/channel HARNESS to the data axis (rows replicated along
+        # time): left to itself GSPMD partitions the channel's full-length
+        # FFT conv over the time axis and then pays a time-axis all-gather on
+        # the pad plus FFT all-to-alls — exactly the comm profile the decode
+        # path must not have (test_no_time_axis_allgather).  Replicated-along
+        # -time -> P(data, time) into the shard_map is a local slice, free.
+        rx = jax.lax.with_sharding_constraint(
+            rx, NamedSharding(mesh, P(DATA_AXIS, None)))
+        # full-chain sequence-parallel decode: sync, symbol-boundary halo
+        # spill, per-shard demod — only decoded bytes cross the time axis
+        # (parallel/timeshard.py; HLO audited by test_no_time_axis_allgather)
+        decoded = decode_ts(rx)
         from ..obs.analysis import bit_errors
         errs = bit_errors(decoded[:, cfg.header_len_bytes:
                                   cfg.header_len_bytes + payload_len], data)

@@ -88,6 +88,50 @@ def test_pipeline_step_qam64(rng):
     assert int(errs) == 0
 
 
+def _collective_inventory(compiled_text):
+    """Count collective ops in compiled HLO, keyed by op name."""
+    import re
+    counts = {}
+    for name in ("all-gather", "all-to-all", "reduce-scatter",
+                 "collective-permute", "all-reduce"):
+        n = len(re.findall(rf"= \S+ {name}(?:-start)?\(", compiled_text))
+        counts[name] = n
+    return counts
+
+
+@pytest.mark.parametrize("n_data,n_time", [(2, 4), (4, 2)])
+def test_no_time_axis_allgather(rng, n_data, n_time):
+    """The compiled sharded pipeline step's collective inventory is exactly
+    {ppermute halo, all-reduce (pmax/pmin argmax, psum chunk/byte scatters,
+    BER sum)} — no all-gather or all-to-all of the sample axis anywhere.
+    This is the scaling-efficiency evidence obtainable without multi-chip
+    hardware: the time axis is never rematerialized, so sequence-parallel
+    decode communicates O(halo + decoded bytes), not O(samples)."""
+    mesh = make_mesh(n_data=n_data, n_time=n_time)
+    step = make_pipeline_step(mesh, payload_len=64, guard_bands=True,
+                              modulation=ot.Modulation.QPSK, snr=30.0,
+                              timing_error=True)
+    data = jnp.zeros((8, 64), jnp.uint8)
+    txt = step.lower(data, jax.random.key(0)).compile().as_text()
+    inv = _collective_inventory(txt)
+    assert inv["all-gather"] == 0, f"time-axis all-gather crept in: {inv}"
+    assert inv["all-to-all"] == 0, f"all-to-all crept in: {inv}"
+    assert inv["collective-permute"] >= 1     # the 79-sample ring halo
+    assert inv["all-reduce"] >= 3             # argmax + sync-chunk/byte psums
+
+
+def test_timesharded_decode_collectives_only_halo_and_reduce(rng):
+    """Standalone time-sharded decoder: same collective guarantee."""
+    from ofdm_tpu.parallel.timeshard import timesharded_decode_fn
+    mesh = make_mesh(n_data=2, n_time=4)
+    fn = jax.jit(timesharded_decode_fn(mesh, n_blocks=7, guard_bands=True,
+                                       modulation=ot.Modulation.QPSK))
+    x = jax.ShapeDtypeStruct((4, 4 * 640), jnp.complex64)
+    txt = fn.lower(x).compile().as_text()
+    inv = _collective_inventory(txt)
+    assert inv["all-gather"] == 0 and inv["all-to-all"] == 0, inv
+
+
 def test_decode_regular_sharded_matches_single_device(rng):
     """Sharded multi-frame streaming decode == the single-device path."""
     from ofdm_tpu.fec import hamming

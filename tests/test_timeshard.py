@@ -1,0 +1,123 @@
+"""Time-sharded full-chain decode == single-device decode, byte for byte.
+
+The sequence-parallel receiver (parallel/timeshard.py) must reproduce
+``decode_frame`` exactly for frame offsets anywhere in the stream — in
+particular offsets that straddle time-shard boundaries, where the
+symbol-boundary halo spill and the one-hot chunk scatter do the work.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ofdm_tpu as ot
+from ofdm_tpu.parallel.mesh import make_mesh
+from ofdm_tpu.parallel.timeshard import decode_frame_timesharded
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 fake devices")
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _frame(rng, payload_len, modulation, guard_bands, snr=None, key=0):
+    data = rng.integers(0, 256, payload_len, dtype=np.uint8)
+    tx = np.asarray(ot.encode(data, guard_bands=guard_bands,
+                              modulation=modulation, dtype=jnp.complex128))
+    if snr is not None:
+        tx = np.asarray(ot.channel(jnp.asarray(tx), snr=snr,
+                                   key=jax.random.key(key)))
+    return data, tx
+
+
+def _stream_with_frames(rng, tx, offsets, T):
+    """[len(offsets), T] noise-floor streams, frame embedded at offsets[i]."""
+    s = 0.003 * (rng.standard_normal((len(offsets), T))
+                 + 1j * rng.standard_normal((len(offsets), T)))
+    for i, off in enumerate(offsets):
+        s[i, off:off + tx.shape[-1]] += tx
+    return jnp.asarray(s)
+
+
+# mesh (1, 8): T_loc = 640 — offsets probe shard interiors, boundaries, and
+# the frame spanning 3+ shards
+BOUNDARY_OFFSETS = [0, 1, 79, 80, 639, 640, 641, 1000, 1279, 1281, 2555, 3600]
+
+
+def test_timesharded_matches_decode_frame_boundary_offsets(rng):
+    mesh = make_mesh(n_data=1, n_time=8)
+    payload_len = 90
+    data, tx = _frame(rng, payload_len, ot.Modulation.QPSK, True)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QPSK, True)
+    T = 5120                                   # 8 shards x 640 (8 symbols each)
+    for group in (BOUNDARY_OFFSETS[:6], BOUNDARY_OFFSETS[6:]):
+        stream = _stream_with_frames(rng, tx, group, T)
+        ts = np.asarray(decode_frame_timesharded(
+            stream, mesh, n_blocks=nb, guard_bands=True,
+            modulation=ot.Modulation.QPSK))
+        ref = np.asarray(ot.decode_frame(stream, n_blocks=nb,
+                                         guard_bands=True,
+                                         modulation=ot.Modulation.QPSK))
+        np.testing.assert_array_equal(ts, ref)
+        np.testing.assert_array_equal(
+            ts[:, 16:16 + payload_len], np.tile(data, (len(group), 1)))
+
+
+@pytest.mark.parametrize("n_data,n_time", [(2, 4), (4, 2)])
+def test_timesharded_mixed_mesh_with_channel(rng, n_data, n_time):
+    """Multipath + CFO + noise through the simulated channel, mixed meshes."""
+    mesh = make_mesh(n_data=n_data, n_time=n_time)
+    payload_len = 60
+    data, tx = _frame(rng, payload_len, ot.Modulation.QPSK, True,
+                      snr=30.0, key=2)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QPSK, True)
+    offsets = [0, 315, 963, 1280][:max(n_data, 4)]
+    T = 4 * n_time * 80 * 8                    # multiple of every shard quant
+    stream = _stream_with_frames(rng, tx, offsets, T)
+    ts = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=True,
+        modulation=ot.Modulation.QPSK))
+    ref = np.asarray(ot.decode_frame(stream, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(ts, ref)
+    np.testing.assert_array_equal(ts[:, 16:16 + payload_len],
+                                  np.tile(data, (len(offsets), 1)))
+
+
+def test_timesharded_qam64_no_guard_bands(rng):
+    """The no-guard-band path (full 64-bin DFT, no pilot phase)."""
+    mesh = make_mesh(n_data=1, n_time=8)
+    payload_len = 64
+    data, tx = _frame(rng, payload_len, ot.Modulation.QAM64, False,
+                      snr=45.0, key=3)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QAM64, False)
+    stream = _stream_with_frames(rng, tx, [777, 1601], 3840)
+    ts = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=False,
+        modulation=ot.Modulation.QAM64))
+    ref = np.asarray(ot.decode_frame(stream, n_blocks=nb, guard_bands=False,
+                                     modulation=ot.Modulation.QAM64))
+    np.testing.assert_array_equal(ts, ref)
+
+
+def test_timesharded_no_retrace(rng):
+    """Streaming calls at one deployment shape reuse the cached jit."""
+    from ofdm_tpu.parallel.timeshard import _jitted
+    mesh = make_mesh(n_data=1, n_time=8)
+    payload_len = 90
+    data, tx = _frame(rng, payload_len, ot.Modulation.QPSK, True)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QPSK, True)
+    stream = _stream_with_frames(rng, tx, [500], 5120)
+    _ = decode_frame_timesharded(stream, mesh, n_blocks=nb, guard_bands=True,
+                                 modulation=ot.Modulation.QPSK)
+    size = _jitted.cache_info().currsize
+    out = decode_frame_timesharded(stream + 0, mesh, n_blocks=nb,
+                                   guard_bands=True,
+                                   modulation=ot.Modulation.QPSK)
+    assert _jitted.cache_info().currsize == size
+    np.testing.assert_array_equal(np.asarray(out)[0, 16:16 + payload_len],
+                                  data)
