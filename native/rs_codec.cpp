@@ -9,6 +9,11 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__GFNI__) && defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define RS_GFNI 1
+#endif
+
 namespace {
 
 constexpr int kN = 255;
@@ -20,6 +25,33 @@ struct Tables {
     uint8_t exp[512];
     uint8_t log[256];
     uint8_t gen[kEcc + 1];
+    // Scalar fallback tables:
+    // encode: row f = f * gen[1..32] — the LFSR inner loop becomes one
+    // 32-byte XOR (vectorizes to a single AVX2 op)
+    alignas(64) uint8_t enc_row[256][kEcc];
+    // syndromes: mulx[i][s] = s * alpha^i — per input byte the 32 syndrome
+    // chains update independently (ILP across i), one L1 lookup each
+    alignas(64) uint8_t mulx[kEcc][256];
+    // GFNI batch path: multiply-by-constant in GF(0x11d) is an F2-linear map,
+    // i.e. one VGF2P8AFFINEQB with an 8x8 bit matrix (column k of the matrix
+    // is c*2^k; qword byte r holds the row driving output bit 7-r).  The
+    // batch kernels run 64 independent blocks SoA in ZMM lanes.
+    uint64_t affine_gen[kEcc];      // multiply by gen[j+1] (LFSR feedback)
+    uint64_t affine_alpha[kEcc];    // multiply by alpha^i (syndrome Horner)
+
+    uint64_t mul_matrix(uint8_t c) const {
+        uint64_t m = 0;
+        for (int r = 0; r < 8; ++r) {            // row r -> output bit 7-r
+            const int outbit = 7 - r;
+            uint8_t rowbits = 0;
+            for (int k = 0; k < 8; ++k) {
+                const uint8_t img = mul_raw(c, static_cast<uint8_t>(1 << k));
+                rowbits |= ((img >> outbit) & 1) << k;
+            }
+            m |= static_cast<uint64_t>(rowbits) << (8 * r);
+        }
+        return m;
+    }
 
     Tables() {
         int x = 1;
@@ -49,6 +81,17 @@ struct Tables {
             std::memcpy(g, ng, sizeof(g));
         }
         std::memcpy(gen, g, sizeof(gen));
+
+        for (int f = 0; f < 256; ++f)
+            for (int j = 0; j < kEcc; ++j)
+                enc_row[f][j] = mul_raw(static_cast<uint8_t>(f), gen[j + 1]);
+        for (int i = 0; i < kEcc; ++i) {
+            mulx[i][0] = 0;
+            for (int s = 1; s < 256; ++s)
+                mulx[i][s] = exp[(log[s] + i) % 255];
+        }
+        for (int j = 0; j < kEcc; ++j) affine_gen[j] = mul_matrix(gen[j + 1]);
+        for (int i = 0; i < kEcc; ++i) affine_alpha[i] = mul_matrix(exp[i]);
     }
 
     uint8_t mul_raw(uint8_t a, uint8_t b) const {
@@ -72,35 +115,39 @@ inline uint8_t gf_pow2(int p) {  // alpha^p, p may exceed 255
     return T.exp[p];
 }
 
-void encode_one(const uint8_t* data, uint8_t* out) {
-    // systematic: out = data || parity (LFSR division by generator)
+[[maybe_unused]] void encode_one(const uint8_t* data, uint8_t* out) {
+    // systematic: out = data || parity (LFSR division by generator).
+    // Per input byte: rem = (rem << 1 byte) ^ enc_row[factor] — one 32-byte
+    // XOR the compiler vectorizes.  Scalar fallback / remainder path; the
+    // batch entry point uses the GFNI SoA kernel.
     std::memcpy(out, data, kK);
-    uint8_t rem[kEcc] = {0};
+    uint8_t rem[kEcc + 1] = {0};
     for (int i = 0; i < kK; ++i) {
-        uint8_t factor = data[i] ^ rem[0];
-        std::memmove(rem, rem + 1, kEcc - 1);
-        rem[kEcc - 1] = 0;
-        if (factor) {
-            for (int j = 0; j < kEcc; ++j)
-                rem[j] ^= gf_mul(factor, T.gen[j + 1]);
-        }
+        const uint8_t factor = data[i] ^ rem[0];
+        const uint8_t* row = T.enc_row[factor];
+        for (int j = 0; j < kEcc; ++j)
+            rem[j] = rem[j + 1] ^ row[j];
     }
     std::memcpy(out + kK, rem, kEcc);
 }
 
-// returns 1 on success (block corrected in place), 0 on failure
-int decode_one(uint8_t* block) {
-    // syndromes S_i = C(alpha^i), coefficients high-to-low (block[0] = x^254)
-    uint8_t synd[kEcc];
-    bool all_zero = true;
-    for (int i = 0; i < kEcc; ++i) {
-        uint8_t s = 0;
-        // Horner: C(a) = ((c0*a + c1)*a + c2)...
-        uint8_t a = T.exp[i];
-        for (int j = 0; j < kN; ++j) s = gf_mul(s, a) ^ block[j];
-        synd[i] = s;
-        all_zero &= (s == 0);
+void syndromes_one(const uint8_t* block, uint8_t* synd) {
+    // S_i = C(alpha^i), coefficients high-to-low (block[0] = x^254), Horner
+    // with the byte loop outer so the 32 chains update independently (ILP)
+    std::memset(synd, 0, kEcc);
+    for (int j = 0; j < kN; ++j) {
+        const uint8_t c = block[j];
+        for (int i = 0; i < kEcc; ++i)
+            synd[i] = T.mulx[i][synd[i]] ^ c;
     }
+}
+
+// returns 1 on success (block corrected in place), 0 on failure
+int decode_with_syndromes(uint8_t* block, const uint8_t* synd_in) {
+    uint8_t synd[kEcc];
+    std::memcpy(synd, synd_in, kEcc);
+    bool all_zero = true;
+    for (int i = 0; i < kEcc; ++i) all_zero &= (synd[i] == 0);
     if (all_zero) return 1;
 
     // Berlekamp-Massey
@@ -177,20 +224,192 @@ int decode_one(uint8_t* block) {
     return 1;
 }
 
+[[maybe_unused]] int decode_one(uint8_t* block) {
+    uint8_t synd[kEcc];
+    syndromes_one(block, synd);
+    return decode_with_syndromes(block, synd);
+}
+
+#ifdef RS_GFNI
+
+// 8x8 byte transpose on uint64 rows (recursive block swaps: 4, 2, 1)
+inline void transpose8x8(uint64_t x[8]) {
+    for (int i = 0; i < 4; ++i) {
+        const uint64_t a = x[i], b = x[i + 4];
+        x[i] = (a & 0x00000000FFFFFFFFull) | ((b & 0x00000000FFFFFFFFull) << 32);
+        x[i + 4] = ((a >> 32) & 0x00000000FFFFFFFFull) | (b & 0xFFFFFFFF00000000ull);
+    }
+    for (int g = 0; g < 8; g += 4)
+        for (int i = g; i < g + 2; ++i) {
+            const uint64_t a = x[i], b = x[i + 2];
+            x[i] = (a & 0x0000FFFF0000FFFFull) | ((b & 0x0000FFFF0000FFFFull) << 16);
+            x[i + 2] = ((a >> 16) & 0x0000FFFF0000FFFFull) | (b & 0xFFFF0000FFFF0000ull);
+        }
+    for (int i = 0; i < 8; i += 2) {
+        const uint64_t a = x[i], b = x[i + 1];
+        x[i] = (a & 0x00FF00FF00FF00FFull) | ((b & 0x00FF00FF00FF00FFull) << 8);
+        x[i + 1] = ((a >> 8) & 0x00FF00FF00FF00FFull) | (b & 0xFF00FF00FF00FF00ull);
+    }
+}
+
+// gather up to 64 blocks (row stride `stride`, `cols` bytes each) into a
+// column-major tile cols[256][64]: cols[j][b] = blocks[b][j]
+struct Tile {
+    alignas(64) uint8_t rows[64][256];   // zero-padded staging
+    alignas(64) uint8_t cols[256][64];
+
+    void load(const uint8_t* src, int n, int stride, int n_cols) {
+        if (n < 64) std::memset(rows, 0, sizeof(rows));
+        for (int b = 0; b < n; ++b)
+            std::memcpy(rows[b], src + static_cast<size_t>(b) * stride, n_cols);
+        for (int g = 0; g * 8 < n_cols; ++g)
+            for (int r = 0; r < 64; r += 8) {
+                uint64_t x[8];
+                for (int i = 0; i < 8; ++i)
+                    std::memcpy(&x[i], &rows[r + i][g * 8], 8);
+                transpose8x8(x);
+                for (int j = 0; j < 8; ++j)
+                    std::memcpy(&cols[g * 8 + j][r], &x[j], 8);
+            }
+    }
+};
+
+// scatter a [kEcc][64] SoA result back to rows: dst[b][i] = soa[i][b]
+inline void scatter32x64(const uint8_t soa[kEcc][64], uint8_t* dst, int n,
+                         int stride) {
+    alignas(64) uint8_t rows[64][kEcc];
+    for (int g = 0; g < kEcc; g += 8)
+        for (int r = 0; r < 64; r += 8) {
+            uint64_t x[8];
+            for (int i = 0; i < 8; ++i)
+                std::memcpy(&x[i], &soa[g + i][r], 8);
+            transpose8x8(x);
+            for (int j = 0; j < 8; ++j)
+                std::memcpy(&rows[r + j][g], &x[j], 8);
+        }
+    for (int b = 0; b < n; ++b)
+        std::memcpy(dst + static_cast<size_t>(b) * stride, rows[b], kEcc);
+}
+
+// encode 64 blocks SoA: the LFSR runs in ZMM lanes, the per-step feedback
+// multiplies gen[j+1] are VGF2P8AFFINEQB with precomputed bit matrices
+void encode_batch64(const uint8_t* in, int n, uint8_t* out) {
+    static thread_local Tile tile;
+    tile.load(in, n, kK, kK);
+    __m512i rem[kEcc];
+    for (int j = 0; j < kEcc; ++j) rem[j] = _mm512_setzero_si512();
+    for (int i = 0; i < kK; ++i) {
+        const __m512i data = _mm512_load_si512(tile.cols[i]);
+        const __m512i factor = _mm512_xor_si512(data, rem[0]);
+        for (int j = 0; j < kEcc - 1; ++j) {
+            const __m512i g = _mm512_set1_epi64(
+                static_cast<long long>(T.affine_gen[j]));
+            rem[j] = _mm512_xor_si512(
+                rem[j + 1], _mm512_gf2p8affine_epi64_epi8(factor, g, 0));
+        }
+        const __m512i g = _mm512_set1_epi64(
+            static_cast<long long>(T.affine_gen[kEcc - 1]));
+        rem[kEcc - 1] = _mm512_gf2p8affine_epi64_epi8(factor, g, 0);
+    }
+    alignas(64) uint8_t soa[kEcc][64];
+    for (int j = 0; j < kEcc; ++j) _mm512_store_si512(soa[j], rem[j]);
+    for (int b = 0; b < n; ++b)
+        std::memcpy(out + static_cast<size_t>(b) * kN,
+                    in + static_cast<size_t>(b) * kK, kK);
+    scatter32x64(soa, out + kK, n, kN);
+}
+
+// syndromes for 64 blocks SoA (Horner: s = s*alpha^i ^ c per byte).
+// Processed in two halves of 16 syndromes so the 16 accumulators + 16
+// matrices fit the 32-entry ZMM register file (one pass over all 64
+// accumulator+matrix registers spills every iteration).
+template <int I0>
+void syndromes_half(const Tile& tile, uint8_t synd_soa[kEcc][64]) {
+    __m512i s[16], a[16];
+    for (int i = 0; i < 16; ++i) {
+        s[i] = _mm512_setzero_si512();
+        a[i] = _mm512_set1_epi64(
+            static_cast<long long>(T.affine_alpha[I0 + i]));
+    }
+    for (int j = 0; j < kN; ++j) {
+        const __m512i c = _mm512_load_si512(tile.cols[j]);
+        for (int i = 0; i < 16; ++i)
+            s[i] = _mm512_xor_si512(
+                c, _mm512_gf2p8affine_epi64_epi8(s[i], a[i], 0));
+    }
+    for (int i = 0; i < 16; ++i) _mm512_store_si512(synd_soa[I0 + i], s[i]);
+}
+
+void syndromes_batch64(const uint8_t* blocks, int n,
+                       uint8_t synd_soa[kEcc][64]) {
+    static thread_local Tile tile;
+    tile.load(blocks, n, kN, kN);
+    syndromes_half<0>(tile, synd_soa);
+    syndromes_half<16>(tile, synd_soa);
+}
+
+void decode_batch64(uint8_t* blocks, int n, uint8_t* ok) {
+    alignas(64) uint8_t soa[kEcc][64];
+    syndromes_batch64(blocks, n, soa);
+    // ok fast path: a block with all-zero syndromes is already correct
+    __m512i nz = _mm512_setzero_si512();
+    for (int i = 0; i < kEcc; ++i)
+        nz = _mm512_or_si512(nz, _mm512_load_si512(soa[i]));
+    const __mmask64 bad =
+        _mm512_test_epi8_mask(nz, _mm512_set1_epi8(static_cast<char>(0xFF)));
+    for (int b = 0; b < n; ++b) {
+        if (!((bad >> b) & 1)) { ok[b] = 1; continue; }
+        uint8_t synd[kEcc];
+        for (int i = 0; i < kEcc; ++i) synd[i] = soa[i][b];
+        ok[b] = static_cast<uint8_t>(
+            decode_with_syndromes(blocks + static_cast<size_t>(b) * kN, synd));
+    }
+}
+
+#endif  // RS_GFNI
+
 }  // namespace
 
 extern "C" {
 
+// Blocks are independent: 64-block GFNI SoA tiles when the ISA allows
+// (partial tiles zero-pad — zero blocks yield zero parity/syndromes),
+// threaded with OpenMP.  The reference streams blocks sequentially on one
+// core (/root/reference/src/utils.rs:97-180).
+
 // in:  n_blocks * 223 bytes ; out: n_blocks * 255 bytes
 void rs_encode_blocks(const uint8_t* in, int n_blocks, uint8_t* out) {
+#ifdef RS_GFNI
+    const int n_tiles = (n_blocks + 63) / 64;
+#pragma omp parallel for schedule(static) if (n_tiles >= 2)
+    for (int t = 0; t < n_tiles; ++t) {
+        const int b0 = t * 64;
+        const int n = n_blocks - b0 < 64 ? n_blocks - b0 : 64;
+        encode_batch64(in + static_cast<size_t>(b0) * kK, n,
+                       out + static_cast<size_t>(b0) * kN);
+    }
+#else
+#pragma omp parallel for schedule(static) if (n_blocks >= 16)
     for (int i = 0; i < n_blocks; ++i)
         encode_one(in + i * kK, out + i * kN);
+#endif
 }
 
 // inout: n_blocks * 255 bytes (corrected in place); ok: n_blocks flags
 void rs_decode_blocks(uint8_t* inout, int n_blocks, uint8_t* ok) {
+#ifdef RS_GFNI
+    const int n_tiles = (n_blocks + 63) / 64;
+#pragma omp parallel for schedule(static) if (n_tiles >= 2)
+    for (int t = 0; t < n_tiles; ++t) {
+        const int b0 = t * 64;
+        const int n = n_blocks - b0 < 64 ? n_blocks - b0 : 64;
+        decode_batch64(inout + static_cast<size_t>(b0) * kN, n, ok + b0);
+    }
+#else
+#pragma omp parallel for schedule(static) if (n_blocks >= 16)
     for (int i = 0; i < n_blocks; ++i)
         ok[i] = static_cast<uint8_t>(decode_one(inout + i * kN));
+#endif
 }
 
 }  // extern "C"
