@@ -8,11 +8,13 @@ chain into pre/post fusions, and the bit pack is its own pass).  This kernel
 runs the whole tail VMEM-resident per tile of TM OFDM blocks: HBM traffic is
 one read of the planar DFT output and one write of the packed payload words.
 
-Unlike kernels/rx_fused.py (which also pulled the DFT matmul and the CFO
-derotation into Mosaic and never matched the XLA path bit-for-bit on
-hardware), this kernel starts *after* the XLA MXU DFT — the numerically
-sensitive transforms stay on the exact production path, and everything in
-here is plain f32 VPU math plus exact 0/2^k packing matmuls.
+Unlike the deleted experimental rx_fused kernel (which also pulled the DFT
+matmul and the CFO derotation into Mosaic, measured slower than the XLA path
+and mismatched on hardware until the K-padding root cause was found — see
+docs/BENCHMARKS.md "Fused-kernel history"), this kernel starts *after* the
+XLA MXU DFT — the numerically sensitive transforms stay on the exact
+production path, and everything in here is plain f32 VPU math plus exact
+0/2^k packing matmuls.
 
 Mosaic safety: there is NO lane-dim slicing anywhere in the kernel.  The
 pilot bins are reduced with an iota mask, the phase rotation and demod run
@@ -38,9 +40,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..phy.modulation import BITS_PER_SYMBOL, Modulation
-from .rx_fused import _atan2_soft, _mm
 
 TM = 128  # OFDM blocks per program (sublane-dim tile of the VPU work)
+
+
+def _atan2_soft(y, x):
+    """Software atan2 (Mosaic lacks the primitive).  Max err ~2e-4 rad —
+    ~0.02% of a 64QAM decision cell, sub-decision at any workable SNR."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, jnp.float32(1e-37))
+    s = t * t
+    p = jnp.float32(-0.0117212)
+    p = p * s + jnp.float32(0.0528266)
+    p = p * s + jnp.float32(-0.1169332)
+    p = p * s + jnp.float32(0.1936566)
+    p = p * s + jnp.float32(-0.3325680)
+    p = p * s + jnp.float32(0.9999706)
+    r = p * t
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 @lru_cache(maxsize=None)
@@ -55,7 +83,7 @@ def _pack_matrix_lanes(nbins: int, n_data: int, bps: int) -> np.ndarray:
     zero rows.  Byte n = p // 8 (LSB-first, src/utils.rs:30-36), packed into
     int32 word w = n // 4; f32 -> uint8 casts are unsupported in Mosaic, so
     each word is accumulated as exact <= 65535 lo/hi halves and recombined
-    with a 16-bit shift (cf. kernels/rx_fused.py).
+    with a 16-bit shift.
     """
     n_bits = n_data * bps
     assert n_bits % 8 == 0

@@ -125,8 +125,9 @@ def dft_matmul_select_planar(x: jnp.ndarray, bins: tuple,
     128-padded anyway).  Pallas consumers use n_out=128 so every physical
     lane of the planes holds a defined value: Mosaic tile padding is
     undefined, and letting garbage lanes enter a downstream K-padded matmul
-    reduction corrupts output bytes (the root cause of the rx_fused kernel's
-    long-unexplained ~0.24% hardware mismatch — see tools/exp_demod_tail.py).
+    reduction corrupts output bytes (the root cause of the deleted
+    experimental rx_fused kernel's long-unexplained ~0.24% hardware mismatch
+    — see tools/exp_demod_tail.py and docs/BENCHMARKS.md).
     """
     n = x.shape[-1]
     k = len(bins)

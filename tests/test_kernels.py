@@ -56,64 +56,6 @@ def test_realistic_frame(lock):
     np.testing.assert_array_equal(pal, ref)
 
 
-# ---------------------------------------------------------------------------
-# fused rx kernel (kernels/rx_fused.py)
-
-
-def _loop(payload, mod, snr, cfo, batch=3, seed=7):
-    import jax
-
-    import ofdm_tpu as ot
-    rng = np.random.default_rng(seed)
-    d = rng.integers(0, 256, (batch, payload), dtype=np.uint8)
-    tx = ot.encode(d, guard_bands=True, modulation=mod)
-    rx = ot.channel(tx, snr=snr, timing_error=cfo, key=jax.random.key(seed))
-    rx = jnp.pad(rx, ((0, 0), (0, 512)))
-    return d, rx
-
-
-@pytest.mark.parametrize("mod_name,payload,snr", [
-    ("QAM64", 256, 40.0), ("QAM16", 128, 40.0), ("QPSK", 96, 40.0),
-    # QAM256's decision cells sit within fp-rounding reach of the noise at
-    # 40 dB; run its parity check with more margin
-    ("QAM256", 128, 55.0),
-])
-def test_fused_decode_matches_decode_frame(mod_name, payload, snr):
-    import ofdm_tpu as ot
-    from ofdm_tpu.kernels.rx_fused import decode_frame_fused
-
-    mod = ot.Modulation[mod_name]
-    nb = ot.n_data_blocks(payload, mod, True)
-    d, rx = _loop(payload, mod, snr=snr, cfo=True)
-    rx = rx.astype(jnp.complex64)
-    ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
-                                     modulation=mod))
-    got = np.asarray(decode_frame_fused(rx, n_blocks=nb, guard_bands=True,
-                                        modulation=mod, interpret=True))
-    assert got.shape == ref.shape
-    # parity over header + payload (the tail bytes beyond the packet carry
-    # zero-energy decision-boundary symbols where fp rounding legitimately
-    # differs; every consumer truncates to packet_length)
-    lim = 16 + payload
-    np.testing.assert_array_equal(got[:, :lim], ref[:, :lim])
-    np.testing.assert_array_equal(got[:, 16:lim], d)
-
-
-def test_fused_decode_single_row_and_offset():
-    import ofdm_tpu as ot
-    from ofdm_tpu.kernels.rx_fused import decode_frame_fused
-
-    mod = ot.Modulation.QAM64
-    payload = 64
-    nb = ot.n_data_blocks(payload, mod, True)
-    d, rx = _loop(payload, mod, snr=45.0, cfo=False, batch=1)
-    delayed = jnp.pad(rx.astype(jnp.complex64)[0], (37, 0))  # sync offset 37
-    got = np.asarray(decode_frame_fused(delayed, n_blocks=nb,
-                                        guard_bands=True, modulation=mod,
-                                        interpret=True))
-    np.testing.assert_array_equal(got[16:16 + payload], d[0])
-
-
 def test_planar_align_pallas_matches_xla():
     """The Pallas alignment-copy kernel (tile-dim slice + lane rotate with
     cross-tile carry) must be bit-identical to the XLA planar gather for
