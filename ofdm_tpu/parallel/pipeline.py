@@ -145,6 +145,92 @@ def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
     return np.stack(payloads), np.asarray(oks)
 
 
+@lru_cache(maxsize=None)
+def _scan_windows_sharded(mesh, n_win: int, stride: int, cfg: FrameConfig):
+    """Sharded burst frame scan: the [n_win, stride+sym-1] window matrix lays
+    over the data axis; the (small, replicated) stream gathers locally on
+    each device — no cross-device traffic beyond the final offs/rho rows."""
+    from ..phy import streaming as _s
+    out_shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    @partial(jax.jit, out_shardings=(out_shard, out_shard))
+    def fn(s):
+        return _s._scan_windows.__wrapped__(s, n_win=n_win, stride=stride,
+                                            cfg=cfg)
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _decode_at_positions_sharded(mesh, n_rows: int, nb: int, flen: int,
+                                 guard_bands: bool, modulation: Modulation,
+                                 cfg: FrameConfig):
+    from ..phy import streaming as _s
+
+    @partial(jax.jit,
+             in_shardings=(None, NamedSharding(mesh, P(DATA_AXIS))),
+             out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))
+    def fn(s, pos):
+        return _s._decode_at_positions.__wrapped__(
+            s, pos, n_rows=n_rows, nb=nb, flen=flen, guard_bands=guard_bands,
+            modulation=modulation, cfg=cfg)
+    return fn
+
+
+def decode_burst_sharded(samples, mesh, *, payload_len: int,
+                         guard_bands: bool = True,
+                         modulation: Modulation = Modulation.QPSK,
+                         fec: str | None = None, data_len: int | None = None,
+                         acquisition: int = 4096,
+                         max_frames: int | None = None,
+                         detection_rho: float = 0.3,
+                         cfg: FrameConfig = DEFAULT_CONFIG) -> list[tuple]:
+    """Distributed ``phy.streaming.decode_burst``: both batched dispatches
+    (the whole-stream frame scan and the detected-frame decode) shard their
+    row axes over the mesh's data axis; the host gate/NMS between them is
+    unchanged (examples/jetson_rx.rs:83-113 is the workload being scaled).
+
+    Returns [(position, payload, ok), ...] sorted by position — identical to
+    the single-device path (tests/test_parallel.py locks the equivalence).
+    """
+    from ..phy import streaming as _s
+
+    samples = jnp.asarray(samples)
+    nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
+    flen = cfg.sync_len + nb * cfg.sym_len
+    n_out = data_len if data_len is not None else payload_len
+    t = samples.shape[-1]
+    if t < flen:
+        return []
+    n_dev = mesh.shape[DATA_AXIS]
+    stride = min(acquisition, flen)
+    n_win = max(1, -(-(t - flen + 1) // stride))
+    n_win = -(-n_win // n_dev) * n_dev      # pad rows to the data axis; the
+    # extra windows scan zero padding and score rho ~ 0, below any gate
+
+    offs, pars = _scan_windows_sharded(mesh, n_win, stride, cfg)(samples)
+    detections = _s._gate_detections(
+        np.asarray(offs), np.asarray(pars), t=t, stride=stride, flen=flen,
+        detection_rho=detection_rho, max_frames=max_frames, cfg=cfg)
+    if not detections:
+        return []
+
+    n_rows = 1 << (len(detections) - 1).bit_length()   # power-of-two bucket
+    n_rows = -(-n_rows // n_dev) * n_dev               # and data-axis padded
+    pos = np.asarray(
+        detections + [detections[-1]] * (n_rows - len(detections)), np.int32)
+    out = np.asarray(_decode_at_positions_sharded(
+        mesh, n_rows, nb, flen, guard_bands, modulation, cfg)(
+            samples, jnp.asarray(pos)))
+
+    from ..packets.header import HEADER_LEN
+    results = []
+    for i, p in enumerate(detections):
+        payload = out[i, HEADER_LEN:HEADER_LEN + payload_len]
+        d, ok = _s._defec(payload, fec, n_out)
+        results.append((p, d, ok))
+    return results
+
+
 def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
                        modulation: Modulation = Modulation.QAM64,
                        snr: float = 45.0, timing_error: bool = True,

@@ -64,7 +64,7 @@ def _bytes_per_block(cfg: FrameConfig, guard_bands: bool,
 def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
                           modulation: Modulation,
                           cfg: FrameConfig = DEFAULT_CONFIG,
-                          cfo_estimator: str = "reference"):
+                          cfo_estimator: str = "coherent"):
     """Build the shard_map'd decode: complex[B, T] (B over ``data``, T over
     ``time``; T_local a multiple of sym_len) -> uint8[B, n_bytes] replicated
     along ``time``.  Composable inside an enclosing jit (the pipeline step).
@@ -205,7 +205,7 @@ def decode_frame_timesharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
                              guard_bands: bool = False,
                              modulation: Modulation = Modulation.BPSK,
                              cfg: FrameConfig = DEFAULT_CONFIG,
-                             cfo_estimator: str = "reference") -> jnp.ndarray:
+                             cfo_estimator: str = "coherent") -> jnp.ndarray:
     """Sequence-parallel batched decode: complex[B, T] -> uint8[B, n_bytes].
 
     Byte-identical to ``phy.rx.decode_frame`` but with the sample (time) axis

@@ -309,7 +309,7 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  cfg: FrameConfig = DEFAULT_CONFIG,
                  sync_dtype=None,
                  search_window: int | None = None,
-                 dft_precision=None, cfo_estimator: str = "reference",
+                 dft_precision=None, cfo_estimator: str = "coherent",
                  align_impl: str = "auto",
                  demod_impl: str = "auto") -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
@@ -334,6 +334,12 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     pilot phase + demod + byte pack) as one fused Pallas VMEM pass on the
     TPU backend for complex64 whole-byte blocks, XLA fusions elsewhere;
     "pallas" / "xla" force a path (see decode_aligned).
+
+    ``cfo_estimator`` defaults to "coherent" on this production path: the
+    reference's per-sample-angle mean loses whole frames when the CFO draw
+    nears the per-sample wrap (u >= 0.99 in tools/exp_cfo.py: 15/16 frames
+    lost vs 0 for coherent; identical behavior on clean signals).  The
+    parity entry point ``decode`` keeps the reference estimator.
     """
     squeeze = samples.ndim == 1
     if squeeze:

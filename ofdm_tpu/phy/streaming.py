@@ -110,7 +110,7 @@ def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
         s, first, n_frames * spacing).reshape(n_frames, spacing)[:, :flen]
     out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
                             guard_bands=guard_bands, modulation=modulation,
-                            cfg=cfg)
+                            cfg=cfg, cfo_estimator="coherent")
     return out
 
 
@@ -208,8 +208,34 @@ def _decode_at_positions(s, pos, *, n_rows: int, nb: int, flen: int,
         lambda p: jax.lax.dynamic_slice_in_dim(s, p, flen))(pos)
     out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
                             guard_bands=guard_bands, modulation=modulation,
-                            cfg=cfg)
+                            cfg=cfg, cfo_estimator="coherent")
     return out
+
+
+def _gate_detections(offs: np.ndarray, pars: np.ndarray, *, t: int,
+                     stride: int, flen: int, detection_rho: float,
+                     max_frames: int | None, cfg: FrameConfig) -> list[int]:
+    """Host-side detection gate + non-max suppression shared by decode_burst
+    and its sharded counterpart (parallel.pipeline.decode_burst_sharded)."""
+    n_win = offs.shape[-1]
+    # off == -1 is the reference's clean-alignment quirk (lag 0): clamp to
+    # the window start, like decode() clamps offset -1 to 0
+    cand = [(float(pars[i]), int(i * stride + max(int(offs[i]), 0)))
+            for i in range(n_win)
+            if pars[i] >= detection_rho
+            and i * stride + max(int(offs[i]), 0) + flen <= t + cfg.sym_len]
+    # non-max suppression by rho: a partial locking-block match at a window
+    # tail (the ramp correlates with its own shifted tail) scores above the
+    # gate but below the true peak in the next window — strongest-first
+    # acceptance keeps the true one, earliest-first would shadow it
+    detections: list[int] = []
+    for rho, p in sorted(cand, key=lambda c: -c[0]):
+        if all(abs(p - q) >= flen for q in detections):
+            detections.append(p)
+    detections.sort()
+    if max_frames is not None:
+        detections = detections[:max_frames]
+    return detections
 
 
 def decode_burst(samples, *, payload_len: int, guard_bands: bool = True,
@@ -246,24 +272,10 @@ def decode_burst(samples, *, payload_len: int, guard_bands: bool = True,
     n_win = max(1, -(-(t - flen + 1) // stride))
 
     offs, pars = _scan_windows(samples, n_win=n_win, stride=stride, cfg=cfg)
-    offs, pars = np.asarray(offs), np.asarray(pars)
-    # off == -1 is the reference's clean-alignment quirk (lag 0): clamp to
-    # the window start, like decode() clamps offset -1 to 0
-    cand = [(float(pars[i]), int(i * stride + max(int(offs[i]), 0)))
-            for i in range(n_win)
-            if pars[i] >= detection_rho
-            and i * stride + max(int(offs[i]), 0) + flen <= t + cfg.sym_len]
-    # non-max suppression by rho: a partial locking-block match at a window
-    # tail (the ramp correlates with its own shifted tail) scores above the
-    # gate but below the true peak in the next window — strongest-first
-    # acceptance keeps the true one, earliest-first would shadow it
-    detections = []
-    for rho, p in sorted(cand, key=lambda c: -c[0]):
-        if all(abs(p - q) >= flen for q in detections):
-            detections.append(p)
-    detections.sort()
-    if max_frames is not None:
-        detections = detections[:max_frames]
+    detections = _gate_detections(np.asarray(offs), np.asarray(pars), t=t,
+                                  stride=stride, flen=flen,
+                                  detection_rho=detection_rho,
+                                  max_frames=max_frames, cfg=cfg)
     if not detections:
         return []
 

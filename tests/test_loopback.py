@@ -85,14 +85,16 @@ def test_cfo_aliasing_boundary_documented():
 
 
 def test_coherent_cfo_estimator_survives_aliasing_boundary():
-    """cfo_estimator="coherent" (angle of the complex-averaged lag product)
-    recovers the u=0.970 draw that breaks the reference's per-sample-angle
-    mean — an improvement the framework offers beyond parity."""
+    """cfo_estimator="coherent" (angle of the complex-averaged lag product,
+    the production default on decode_frame/streaming since the tools/exp_cfo
+    sweep: reference loses 15/16 frames at u >= 0.99, coherent 0) recovers
+    the u=0.970 draw that breaks the reference's per-sample-angle mean."""
     tx = ot.encode(DATA, guard_bands=False, modulation=ot.Modulation.QPSK,
                    dtype=C128)
     rx = ot.channel(tx, snr=30.0, timing_error=True, key=jax.random.key(0))
     nb = ot.n_data_blocks(len(DATA), ot.Modulation.QPSK, False)
-    ref = ot.decode_frame(rx, n_blocks=nb, modulation=ot.Modulation.QPSK)
+    ref = ot.decode_frame(rx, n_blocks=nb, modulation=ot.Modulation.QPSK,
+                          cfo_estimator="reference")
     coh = ot.decode_frame(rx, n_blocks=nb, modulation=ot.Modulation.QPSK,
                           cfo_estimator="coherent")
     expected = np.frombuffer(DATA, np.uint8)

@@ -162,6 +162,46 @@ def test_decode_regular_sharded_matches_single_device(rng):
     assert ok8.all()
 
 
+def test_decode_burst_sharded_matches_single_device(rng):
+    """Arbitrary-gap burst decode sharded over the data axis == the
+    single-device two-dispatch path, detection for detection."""
+    from ofdm_tpu.parallel.pipeline import decode_burst_sharded
+    from ofdm_tpu.phy.streaming import decode_burst
+
+    mesh = make_mesh(n_data=8, n_time=1)
+    payload_len = 64
+    datas = [rng.integers(0, 256, payload_len, dtype=np.uint8)
+             for _ in range(5)]
+    txs = [np.asarray(ot.encode(d, guard_bands=True,
+                                modulation=ot.Modulation.QPSK,
+                                dtype=jnp.complex128)) for d in datas]
+    flen = txs[0].shape[-1]
+    gaps = [0, 217, 3000, 941, 77]          # arbitrary spacing
+    stream = 0.003 * (rng.standard_normal(6 * flen + sum(gaps))
+                      + 1j * rng.standard_normal(6 * flen + sum(gaps)))
+    pos, positions = 0, []
+    for tx, gap in zip(txs, gaps):
+        pos += gap
+        stream[pos:pos + flen] += tx
+        positions.append(pos)
+        pos += flen
+    stream = jnp.asarray(stream)
+
+    kw = dict(payload_len=payload_len, guard_bands=True,
+              modulation=ot.Modulation.QPSK)
+    single = decode_burst(stream, **kw)
+    sharded = decode_burst_sharded(stream, mesh, **kw)
+    assert [p for p, _, _ in sharded] == [p for p, _, _ in single]
+    # reference sync convention: detected offset = embed position - 1
+    # (src/receiver.rs:20-25 idxmax arithmetic; clamped at 0)
+    assert [p for p, _, _ in sharded] == [max(p - 1, 0) for p in positions]
+    for (p, pay, ok), d in zip(sharded, datas):
+        assert ok
+        np.testing.assert_array_equal(pay, d)
+    for (_, a, _), (_, b, _) in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_decode_regular_sharded_no_retrace(rng):
     """Repeated sharded streaming calls at one deployment shape hit the
     extractor cache (a server decodes one buffer per call)."""
