@@ -43,10 +43,24 @@ def main(argv=None):
                         "(decode_continuous) instead of the batched burst decoder")
     p.add_argument("--fec", default="rs", choices=["rs", "hamming", "none"],
                    help="FEC codec for --continuous mode payloads")
+    p.add_argument("--timing", action="store_true",
+                   help="log per-buffer wall-clock decode time (the live-path "
+                        "latency metric; on tunneled runtimes ~24 ms of it is "
+                        "dispatch RTT, not compute — docs/BENCHMARKS.md)")
     args = p.parse_args(argv)
 
     log = set_up_logging("rx_stream")
     mod = ot.Modulation(args.modulation)
+
+    import time as _time
+
+    class _Timer:
+        def __enter__(self):
+            self.t0 = _time.perf_counter()
+            return self
+
+        def __exit__(self, *exc):
+            self.ms = (_time.perf_counter() - self.t0) * 1e3
 
     if args.files:
         source = file_replay(args.files)
@@ -74,14 +88,18 @@ def main(argv=None):
             for i, buf in enumerate(double_buffered(feed, to_device)):
                 # burst mode: two dispatches per buffer (batched window scan
                 # + batched decode) instead of one host sync per window
-                if args.scan_loop:
-                    found = decode_continuous(buf, payload_len=payload_len,
-                                              modulation=mod, fec=fec,
-                                              data_len=raw_len)
-                else:
-                    found = decode_burst(buf, payload_len=payload_len,
-                                         modulation=mod, fec=fec,
-                                         data_len=raw_len)
+                with _Timer() as tm:
+                    if args.scan_loop:
+                        found = list(decode_continuous(
+                            buf, payload_len=payload_len, modulation=mod,
+                            fec=fec, data_len=raw_len))
+                    else:
+                        found = decode_burst(buf, payload_len=payload_len,
+                                             modulation=mod, fec=fec,
+                                             data_len=raw_len)
+                if args.timing:
+                    log.info("buffer %d: decode %.2f ms (%d samples)", i,
+                             tm.ms, buf.shape[-1])
                 for pos, payload, ok in found:
                     if not ok:
                         log.warning("buffer %d @%d: FEC failure", i, pos)
@@ -96,7 +114,11 @@ def main(argv=None):
     with SampleFeed(source) as feed:
         for i, buf in enumerate(double_buffered(feed, to_device)):
             try:
-                out = ot.decode(buf, guard_bands=True, modulation=mod)
+                with _Timer() as tm:
+                    out = ot.decode(buf, guard_bands=True, modulation=mod)
+                if args.timing:
+                    log.info("buffer %d: decode %.2f ms (%d samples)", i,
+                             tm.ms, buf.shape[-1])
             except ot.DecodeError as e:
                 log.warning("buffer %d: decode failed (%s), skipping", i, e)
                 n_skip += 1
