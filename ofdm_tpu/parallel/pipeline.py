@@ -28,7 +28,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .. import constants
 from ..config import DEFAULT_CONFIG, FrameConfig
 from ..phy import rx as rx_mod
-from ..phy.channel import channel
 from ..phy.modulation import Modulation
 from ..phy.tx import encode_payload, n_data_blocks
 from .halo import global_argmax
@@ -251,11 +250,13 @@ def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
     import numpy as np
 
     from ..packets.header import Header
-    from .timeshard import timesharded_decode_fn
+    from .timeshard import channel_timesharded_fn, timesharded_decode_fn
     header = jnp.asarray(np.frombuffer(Header(payload_len).to_bytes(), np.uint8))
     decode_ts = timesharded_decode_fn(mesh, n_blocks=nb,
                                       guard_bands=guard_bands,
                                       modulation=modulation, cfg=cfg)
+    channel_ts = channel_timesharded_fn(mesh, snr=snr,
+                                        timing_error=timing_error, cfg=cfg)
 
     @partial(jax.jit,
              in_shardings=(NamedSharding(mesh, P(DATA_AXIS, None)), None),
@@ -265,22 +266,25 @@ def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,
         payload = jnp.concatenate([hdr, data], axis=-1)
         tx = encode_payload(payload, guard_bands=guard_bands,
                             modulation=modulation, cfg=cfg)
-        rx = channel(tx, snr=snr, timing_error=timing_error, key=key)
-        # pad time axis to a multiple of the time-mesh and of the frame window
+        # pad the time axis to a multiple of the time mesh; the slack also
+        # holds the conv smear (63 samples) and the sync-offset clamp window
         need = frame + cfg.sym_len
-        t_pad = -(rx.shape[-1] + need) % (n_time * cfg.sym_len) + need
-        rx = jnp.pad(rx, ((0, 0), (0, t_pad)))
-        # Pin the tx/channel HARNESS to the data axis (rows replicated along
-        # time): left to itself GSPMD partitions the channel's full-length
-        # FFT conv over the time axis and then pays a time-axis all-gather on
-        # the pad plus FFT all-to-alls — exactly the comm profile the decode
-        # path must not have (test_no_time_axis_allgather).  Replicated-along
-        # -time -> P(data, time) into the shard_map is a local slice, free.
-        rx = jax.lax.with_sharding_constraint(
-            rx, NamedSharding(mesh, P(DATA_AXIS, None)))
-        # full-chain sequence-parallel decode: sync, symbol-boundary halo
-        # spill, per-shard demod — only decoded bytes cross the time axis
-        # (parallel/timeshard.py; HLO audited by test_no_time_axis_allgather)
+        t_pad = -(tx.shape[-1] + need) % (n_time * cfg.sym_len) + need
+        tx = jnp.pad(tx, ((0, 0), (0, t_pad)))
+        # Pin the ENCODE harness to the data axis (rows replicated along
+        # time): left to itself GSPMD splits the per-block IFFT matmuls over
+        # time and pays resharding collectives — exactly the comm profile
+        # the pipeline must not have (test_no_time_axis_allgather).
+        # Replicated-along-time -> P(data, time) into the shard_maps is a
+        # local slice, free.
+        tx = jax.lax.with_sharding_constraint(
+            tx, NamedSharding(mesh, P(DATA_AXIS, None)))
+        # sequence-parallel END TO END: the channel simulator convolves with
+        # a 63-sample left-halo ppermute + psum'd noise variance, and decode
+        # runs sync/symbol-spill/demod per shard — only halos, the
+        # 800-sample sync chunks, decoded bytes and scalars ever cross the
+        # time axis (parallel/timeshard.py)
+        rx = channel_ts(tx, key)
         decoded = decode_ts(rx)
         from ..obs.analysis import bit_errors
         errs = bit_errors(decoded[:, cfg.header_len_bytes:

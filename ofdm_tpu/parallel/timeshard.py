@@ -192,6 +192,85 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
                      out_specs=P(DATA_AXIS, None))
 
 
+def channel_timesharded_fn(mesh, *, snr: float | None = 30.0,
+                           timing_error: bool = False,
+                           cfg: FrameConfig = DEFAULT_CONFIG):
+    """Sequence-parallel channel simulator (SURVEY 5.7's overlap-save /
+    blockwise convolution mechanism, the dual of the decode halo).
+
+    Build the shard_map'd channel: complex[B, T] (B over ``data``, T over
+    ``time``) -> complex[B, T] with the same sharding.  Per shard:
+
+    - 63-sample LEFT halo ppermute completes the multipath convolution
+      window (taps length 64, src/channel.rs:26-31); the first shard sees
+      zero history — identical to the linear conv's zero-padded start.
+      Output is the first T samples of the full conv (the input must carry
+      >= 63 samples of zero tail padding, which the pipeline's time-mesh
+      padding guarantees, so nothing is lost).
+    - CFO rotation uses the GLOBAL sample index (src/channel.rs:48-63);
+      the per-row draw folds the data-shard index into the key so all time
+      shards of a row agree and data shards stay independent.
+    - The noise amplitude's complex pseudo-variance (src/channel.rs:66-71)
+      is a global time reduction: two psums (mean, then variance).
+    - Noise draws fold (data, time) shard indices into the key: shard-local
+      generation, same distribution.  The *realization* therefore differs
+      from the single-device ``channel`` (which draws one stream) — a
+      documented simulator deviation; the conv/CFO path is byte-identical
+      (tests/test_timeshard.py::test_channel_timesharded_conv_matches).
+
+    ``snr=None`` disables noise (test/debug knob).
+    """
+    n_time = mesh.shape[TIME_AXIS]
+    taps_np = constants.CHANNEL_TAPS
+    k = taps_np.shape[-1]
+
+    def local_fn(shard, key):
+        b_loc, t_loc = shard.shape
+        rd = jnp.real(shard).dtype
+        taps = jnp.asarray(taps_np, dtype=rd)
+        my_t = jax.lax.axis_index(TIME_AXIS)
+        my_d = jax.lax.axis_index(DATA_AXIS)
+
+        # left halo: my tail -> right neighbor == receive left's tail
+        tail = shard[:, -(k - 1):]
+        perm = [(i, (i + 1) % n_time) for i in range(n_time)]
+        recv = jax.lax.ppermute(tail, TIME_AXIS, perm)
+        recv = jnp.where(my_t == 0, jnp.zeros_like(recv), recv)
+        ext = jnp.concatenate([recv, shard], axis=-1)   # [B, k-1 + T_loc]
+
+        from ..ops.convolve import convolve_direct
+        full = convolve_direct(ext, taps)               # [B, k-1 + T_loc + k-1]
+        out = full[:, k - 1: k - 1 + t_loc]             # global samples owned
+
+        k_cfo, k_noise = jax.random.split(key)
+        if timing_error:
+            u = jax.random.uniform(jax.random.fold_in(k_cfo, my_d),
+                                   (b_loc,), dtype=rd)
+            f_delta = jnp.pi * u / 80.0
+            n = (my_t * t_loc + jnp.arange(1, t_loc + 1, dtype=rd))
+            rot = jnp.exp(1j * (f_delta[:, None] * n[None, :]).astype(out.dtype))
+            out = out * rot
+
+        if snr is not None:
+            t_glob = t_loc * n_time
+            snr_lin = 10.0 ** (snr / 10.0)
+            mean = jax.lax.psum(jnp.sum(out, axis=-1), TIME_AXIS) / t_glob
+            diff = mean[:, None] - out
+            var = jax.lax.psum(jnp.sum(diff * diff, axis=-1),
+                               TIME_AXIS) / t_glob
+            amp = jnp.sqrt(0.5 * var / snr_lin)
+            kk = jax.random.fold_in(jax.random.fold_in(k_noise, my_d), my_t)
+            uni = jax.random.uniform(kk, (b_loc, t_loc, 2), dtype=rd,
+                                     minval=-1.0, maxval=1.0)
+            out = out + amp[:, None] * jax.lax.complex(uni[..., 0],
+                                                       uni[..., 1])
+        return out
+
+    return shard_map(local_fn, mesh=mesh,
+                     in_specs=(P(DATA_AXIS, TIME_AXIS), P()),
+                     out_specs=P(DATA_AXIS, TIME_AXIS))
+
+
 @lru_cache(maxsize=None)
 def _jitted(mesh, n_blocks: int, guard_bands: bool, modulation: Modulation,
             cfg: FrameConfig, cfo_estimator: str):

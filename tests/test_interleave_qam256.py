@@ -38,6 +38,24 @@ class TestInterleave:
         _, ok2 = rs.decode_stream(plain)
         assert not ok2
 
+    def test_device_variants_match_host(self):
+        from ofdm_tpu.fec.interleave import (deinterleave_device,
+                                             interleave_device)
+        rng = np.random.default_rng(2)
+        data = rng.integers(0, 256, 1000, dtype=np.uint8)
+        for depth in (2, 5, 255):
+            il_host = interleave(data, depth)
+            il_dev = np.asarray(interleave_device(jnp.asarray(data), depth))
+            np.testing.assert_array_equal(il_dev, il_host)
+            back = np.asarray(deinterleave_device(jnp.asarray(il_dev),
+                                                  depth, 1000))
+            np.testing.assert_array_equal(back, data)
+        # batched over leading axes
+        b = rng.integers(0, 256, (3, 510), dtype=np.uint8)
+        il = interleave_device(jnp.asarray(b), 255)
+        back = np.asarray(deinterleave_device(il, 255, 510))
+        np.testing.assert_array_equal(back, b)
+
 
 class TestQam256:
     def test_loopback(self):

@@ -104,6 +104,42 @@ def test_timesharded_qam64_no_guard_bands(rng):
     np.testing.assert_array_equal(ts, ref)
 
 
+def test_channel_timesharded_conv_matches(rng):
+    """Noise/CFO off: the halo-convolved sharded channel equals the
+    single-device linear convolution sample for sample (the overlap region
+    at every shard boundary is exercised by a signal longer than 3 shards)."""
+    from ofdm_tpu import constants
+    from ofdm_tpu.parallel.timeshard import channel_timesharded_fn
+
+    mesh = make_mesh(n_data=2, n_time=4)
+    T = 4 * 640
+    xs = rng.standard_normal((4, T)) + 1j * rng.standard_normal((4, T))
+    fn = jax.jit(channel_timesharded_fn(mesh, snr=None, timing_error=False))
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "time"))
+    got = np.asarray(fn(jax.device_put(jnp.asarray(xs), sharding),
+                        jax.random.key(0)))
+    # single-device reference: full linear conv, first T samples
+    ref = np.stack([np.convolve(xs[i], constants.CHANNEL_TAPS)[:T]
+                    for i in range(4)])
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_pipeline_with_sharded_channel_zero_errors(rng):
+    """End-to-end sequence-parallel pipeline (sharded channel AND decode)
+    still decodes error-free with CFO + noise at SNR 30."""
+    from ofdm_tpu.parallel.pipeline import make_pipeline_step
+    mesh = make_mesh(n_data=2, n_time=4)
+    step = make_pipeline_step(mesh, payload_len=64, guard_bands=True,
+                              modulation=ot.Modulation.QPSK, snr=30.0,
+                              timing_error=True)
+    data = jnp.asarray(rng.integers(0, 256, (8, 64), dtype=np.uint8))
+    decoded, errs = step(data, jax.random.key(5))
+    assert int(errs) == 0
+    np.testing.assert_array_equal(np.asarray(decoded)[:, 16:80],
+                                  np.asarray(data))
+
+
 def test_timesharded_no_retrace(rng):
     """Streaming calls at one deployment shape reuse the cached jit."""
     from ofdm_tpu.parallel.timeshard import _jitted
