@@ -88,14 +88,31 @@ def test_pipeline_step_qam64(rng):
     assert int(errs) == 0
 
 
+_DTYPE_BYTES = {"pred": 1, "u8": 1, "s8": 1, "u16": 2, "s16": 2, "bf16": 2,
+                "f16": 2, "u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8,
+                "f64": 8, "c64": 8, "c128": 16}
+
+
 def _collective_inventory(compiled_text):
-    """Count collective ops in compiled HLO, keyed by op name."""
+    """Count collective ops in compiled HLO and total their operand bytes
+    (per device, per step) — the quantified communication volume."""
     import re
     counts = {}
+    byte_totals = {}
     for name in ("all-gather", "all-to-all", "reduce-scatter",
                  "collective-permute", "all-reduce"):
-        n = len(re.findall(rf"= \S+ {name}(?:-start)?\(", compiled_text))
+        pat = rf"= (?:\()?((?:\w+\[[\d,]*\][^ ]*(?:, )?)+)\)? {name}(?:-start)?\("
+        total = 0
+        n = 0
+        for m in re.finditer(pat, compiled_text):
+            n += 1
+            for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+                elems = int(np.prod([int(d) for d in dims.split(",") if d]
+                                    or [1]))
+                total += elems * _DTYPE_BYTES.get(dt, 8)
         counts[name] = n
+        byte_totals[name] = total
+    counts["total_bytes"] = sum(byte_totals.values())
     return counts
 
 
@@ -116,8 +133,22 @@ def test_no_time_axis_allgather(rng, n_data, n_time):
     inv = _collective_inventory(txt)
     assert inv["all-gather"] == 0, f"time-axis all-gather crept in: {inv}"
     assert inv["all-to-all"] == 0, f"all-to-all crept in: {inv}"
-    assert inv["collective-permute"] >= 1     # the 79-sample ring halo
+    assert inv["collective-permute"] >= 1     # conv + sync ring halos
     assert inv["all-reduce"] >= 3             # argmax + sync-chunk/byte psums
+    # quantified comm volume: the whole step moves only halos (sym-sized),
+    # the 800-sample sync chunks, decoded bytes and scalars.  All of these
+    # are O(batch x frame-overhead) and INDEPENDENT of the stream length T,
+    # so at deployment buffer sizes (2M samples/shard) they are <0.1% of
+    # the shard; at this test's tiny T they must still fit the structural
+    # bound: 2 halos + replicated sync-chunk psum + byte scatter + argmax.
+    b_loc = 8 // n_data
+    sync_len, sym, n_bytes = 800, 80, 7 * 12 + 16
+    structural = b_loc * (2 * (sym - 1) * 16            # conv + sync halos
+                          + 2 * 2 * sync_len * 8        # sync-chunk psum x2 ops
+                          + 2 * n_bytes * 8             # byte-scatter psum
+                          + 64)                         # argmax/BER scalars
+    assert inv["total_bytes"] <= 2 * structural, \
+        f"collective bytes {inv['total_bytes']} vs structural {structural}"
 
 
 def test_timesharded_decode_collectives_only_halo_and_reduce(rng):
