@@ -98,6 +98,47 @@ class TestReedSolomon:
         assert ok
         np.testing.assert_array_equal(back[:600], data)
 
+    @pytest.mark.skipif(rs._LIB is None, reason="native codec not built")
+    def test_native_selftest(self):
+        # Locks the GF(0x11d)->GF(0x11b) isomorphism and the GFNI instruction
+        # conventions the vectorized error path relies on (native/rs_codec.cpp
+        # correct_batch64); stage codes documented at rs_selftest.
+        import ctypes
+        rs._LIB.rs_selftest.restype = ctypes.c_int
+        assert rs._LIB.rs_selftest() == 0
+
+    @pytest.mark.skipif(rs._LIB is None, reason="native codec not built")
+    def test_native_matches_python_oracle_mixed_errors(self):
+        # The SoA GFNI error path (64 blocks per tile, branchless BM/Chien/
+        # Forney) must agree with the pure-python scalar decoder on ok flags
+        # AND corrected bytes across the whole 0..t..beyond-t range, including
+        # lanes that fail inside a tile of successes.
+        rng = np.random.default_rng(123)
+        nb = 192  # 3 tiles
+        data = rng.integers(0, 256, (nb, rs.K), dtype=np.uint8)
+        coded = rs.encode_blocks(data)
+        nerrs = rng.integers(0, 21, nb)
+        c = coded.copy()
+        for i in range(nb):
+            ne = nerrs[i]
+            if ne == 0:
+                continue
+            pos = rng.choice(rs.N, ne, replace=False)
+            c[i, pos] ^= rng.integers(1, 256, ne, dtype=np.uint8)
+        out, ok = rs.decode_blocks(c)
+        lib = rs._LIB
+        try:
+            rs._LIB = None
+            out_py, ok_py = rs.decode_blocks(c)
+        finally:
+            rs._LIB = lib
+        np.testing.assert_array_equal(ok, ok_py)
+        np.testing.assert_array_equal(out[ok], out_py[ok_py])
+        assert ok[nerrs <= rs.ECC // 2].all()
+        np.testing.assert_array_equal(out[nerrs <= rs.ECC // 2],
+                                      data[nerrs <= rs.ECC // 2])
+        assert not ok[nerrs > rs.ECC // 2].any()
+
 
 class TestEndToEndWithFec:
     """FEC composed with the modem: the lab3b_image/lab3c configuration."""
