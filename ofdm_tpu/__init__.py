@@ -14,7 +14,8 @@ from .phy.channel import channel
 from .phy.modulation import Modulation
 from .phy.rx import DecodeError, decode, decode_aligned, decode_frame, sync_offset
 from .phy.streaming import decode_burst, decode_continuous, decode_regular
-from .phy.tx import encode, encode_payload, frame_len, n_data_blocks
+from .phy.tx import (encode, encode_hamming, encode_payload, frame_len,
+                     n_data_blocks)
 
 __version__ = "0.1.0"
 
@@ -32,6 +33,7 @@ __all__ = [
     "decode_frame",
     "decode_regular",
     "encode",
+    "encode_hamming",
     "encode_payload",
     "frame_len",
     "n_data_blocks",

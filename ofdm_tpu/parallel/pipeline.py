@@ -134,6 +134,14 @@ def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
                               modulation=modulation, cfg=cfg,
                               search_window=cfg.sym_len)
     from ..packets.header import HEADER_LEN
+    if fec == "hamming":
+        # on-device FEC while still sharded over the data axis: the bit-matmul
+        # decode is row-wise independent, so no resharding happens and only
+        # the corrected user bytes are gathered to host
+        n_bytes = data_len if data_len is not None else payload_len
+        dec = _s._defec_hamming_device(out, payload_len=payload_len,
+                                       n_bytes=n_bytes)
+        return np.asarray(dec)[:n_frames], np.ones(n_frames, bool)
     raw = np.asarray(out)[:n_frames, HEADER_LEN:HEADER_LEN + payload_len]
     payloads, oks = [], []
     for r in raw:

@@ -78,28 +78,52 @@ def _first_sync(s, *, spacing: int, need: int, cfg: FrameConfig):
     return jnp.argmax(power[..., :spacing], axis=-1) - 1
 
 
+def _fused_defec(out, payload_len: int, n_bytes: int, fec: str | None):
+    """In-graph FEC tail: when the codec is device-friendly (Hamming bit
+    matmuls), decode the payload inside the same jit computation so the only
+    d2h transfer is the corrected user bytes (no raw-payload round trip)."""
+    if fec != "hamming":
+        return out
+    return hamming.decode(out[..., HEADER_LEN:HEADER_LEN + payload_len],
+                          n_bytes)
+
+
+@_partial(jax.jit, static_argnames=("payload_len", "n_bytes"))
+def _defec_hamming_device(out, *, payload_len: int, n_bytes: int):
+    """Batched on-device Hamming decode of demodulated frame bytes.  Row-wise
+    independent, so a data-axis-sharded input stays sharded (used by
+    parallel.pipeline.decode_regular_sharded)."""
+    return _fused_defec(out, payload_len, n_bytes, "hamming")
+
+
 @_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
-                                    "flen", "guard_bands", "modulation", "cfg"))
+                                    "flen", "guard_bands", "modulation", "cfg",
+                                    "payload_len", "n_bytes", "fec"))
 def _extract_and_decode(s, first, *, n_frames: int, spacing: int, need: int,
                         nb: int, flen: int, guard_bands: bool,
-                        modulation: Modulation, cfg: FrameConfig):
+                        modulation: Modulation, cfg: FrameConfig,
+                        payload_len: int = 0, n_bytes: int = 0,
+                        fec: str | None = None):
     # Uniform spacing makes frame extraction ONE contiguous dynamic slice +
     # reshape (per-row dynamic_slice gathers lower ~40% slower on TPU,
     # tools/exp_stream_tpu.py).
     s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
     rows = jax.lax.dynamic_slice_in_dim(
         s, first, n_frames * spacing).reshape(n_frames, spacing)[:, :flen]
-    return decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
-                        modulation=modulation, cfg=cfg,
-                        search_window=cfg.sym_len)
+    out = decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
+                       modulation=modulation, cfg=cfg,
+                       search_window=cfg.sym_len)
+    return _fused_defec(out, payload_len, n_bytes, fec)
 
 
 @_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
-                                    "flen", "guard_bands", "modulation", "cfg"))
+                                    "flen", "guard_bands", "modulation", "cfg",
+                                    "payload_len", "n_bytes", "fec"))
 def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
                                 need: int, nb: int, flen: int,
                                 guard_bands: bool, modulation: Modulation,
-                                cfg: FrameConfig):
+                                cfg: FrameConfig, payload_len: int = 0,
+                                n_bytes: int = 0, fec: str | None = None):
     # With exact spacing the global sync fully determines every frame start:
     # extract rows and run the aligned decoder directly — no per-row re-sync
     # or alignment gather at all (3.76 vs 3.22 GS/s at the 256-frame 64QAM
@@ -111,7 +135,7 @@ def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
     out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
                             guard_bands=guard_bands, modulation=modulation,
                             cfg=cfg, cfo_estimator="coherent")
-    return out
+    return _fused_defec(out, payload_len, n_bytes, fec)
 
 
 def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
@@ -142,17 +166,21 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     # runtimes).
     first = max(int(_first_sync(samples, spacing=spacing, need=need, cfg=cfg)), 0)
     fn = _extract_and_decode if resync else _extract_and_decode_presync
+    n_bytes = data_len if data_len is not None else payload_len
+    if fec == "hamming":
+        # Hamming decode (bit matmuls) fuses INTO the decode graph: one
+        # dispatch demods + corrects every frame, and only the corrected
+        # user bytes ever leave the device.
+        out = fn(samples, jnp.int32(first), n_frames=n_frames,
+                 spacing=spacing, need=need, nb=nb, flen=flen,
+                 guard_bands=guard_bands, modulation=modulation, cfg=cfg,
+                 payload_len=payload_len, n_bytes=n_bytes, fec="hamming")
+        return np.asarray(out), np.ones(n_frames, bool)
     out = fn(samples, jnp.int32(first), n_frames=n_frames,
              spacing=spacing, need=need, nb=nb, flen=flen,
              guard_bands=guard_bands, modulation=modulation,
              cfg=cfg)
     raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]
-    n_bytes = data_len if data_len is not None else payload_len
-    if fec == "hamming":
-        # one batched bit-matmul decode for all frames (hamming.decode is
-        # batched over leading axes) instead of a device call per frame
-        payloads = np.asarray(hamming.decode(jnp.asarray(raw), n_bytes))
-        return payloads, np.ones(n_frames, bool)
     payloads, oks = [], []
     for r in raw:
         p, ok = _defec(r, fec, n_bytes)

@@ -144,6 +144,28 @@ def encode_payload(payload: jnp.ndarray, *, guard_bands: bool = False,
     return peak_normalize(jnp.concatenate([prefix, data_samples], axis=-1))
 
 
+@partial(jax.jit, static_argnames=("guard_bands", "modulation", "cfg", "dtype"))
+def encode_hamming(data: jnp.ndarray, *, guard_bands: bool = False,
+                   modulation: Modulation = Modulation.BPSK,
+                   cfg: FrameConfig = DEFAULT_CONFIG,
+                   dtype=jnp.complex64) -> jnp.ndarray:
+    """Fused FEC + modem encoder: uint8[..., n] USER bytes -> frames whose
+    payload is the Hamming(7,4)-coded stream (the tx dual of the fused rx
+    Hamming tail in phy/streaming.py).  One dispatch: FEC bit matmuls +
+    header + modulation + packed IFFT.  Wire-identical to
+    ``encode(hamming.encode(data), ...)``.
+    """
+    from ..fec import hamming
+    from ..packets.header import Header
+    coded = hamming.encode(data)
+    # header depends only on the (static) coded length -> a trace constant
+    hdr = np.frombuffer(Header(coded.shape[-1]).to_bytes(), dtype=np.uint8)
+    hdr = jnp.broadcast_to(jnp.asarray(hdr), (*coded.shape[:-1], hdr.shape[0]))
+    payload = jnp.concatenate([hdr, coded], axis=-1)
+    return encode_payload(payload, guard_bands=guard_bands,
+                          modulation=modulation, cfg=cfg, dtype=dtype)
+
+
 def encode(data, guard_bands: bool = False,
            modulation: Modulation = Modulation.BPSK,
            cfg: FrameConfig = DEFAULT_CONFIG, dtype=jnp.complex64) -> jnp.ndarray:

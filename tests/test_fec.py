@@ -169,3 +169,61 @@ class TestEndToEndWithFec:
         out = ot.decode(rx, guard_bands=True, modulation=ot.Modulation.QPSK)
         back = hamming.decode(jnp.asarray(out), 400)
         np.testing.assert_array_equal(np.asarray(back), np.asarray(data))
+
+
+class TestHammingWireFormat:
+    """Lock the SoA bit-math codec to an independent bit-tensor reference
+    (the spec in hamming.py's docstring, straight-line numpy)."""
+
+    @staticmethod
+    def _ref_encode(data):
+        from ofdm_tpu.fec.hamming import _G
+        bits = np.unpackbits(data, bitorder="little")
+        nibbles = bits.reshape(-1, 4)
+        code = (nibbles @ _G) % 2
+        flat = code.reshape(-1)
+        pad = (-flat.shape[0]) % 8
+        return np.packbits(np.pad(flat, (0, pad)), bitorder="little")
+
+    @staticmethod
+    def _ref_decode(coded, n_bytes):
+        from ofdm_tpu.fec.hamming import _H
+        bits = np.unpackbits(coded, bitorder="little")
+        code = bits[: 2 * n_bytes * 7].reshape(-1, 7)
+        syn = (code @ _H.T) % 2
+        sval = syn[:, 0] + 2 * syn[:, 1] + 4 * syn[:, 2]
+        s2p = np.full(8, 7)
+        for col in range(7):
+            s = _H[:, col]
+            s2p[int(s[0] + 2 * s[1] + 4 * s[2])] = col
+        flip = (np.arange(7) == s2p[sval][:, None]).astype(np.uint8)
+        corrected = (code + flip) % 2
+        return np.packbits(corrected[:, :4].reshape(-1), bitorder="little")
+
+    def test_encode_matches_reference(self):
+        rng = np.random.default_rng(11)
+        for n in [1, 2, 3, 4, 7, 64, 200, 333]:
+            data = rng.integers(0, 256, n, dtype=np.uint8)
+            got = np.asarray(hamming.encode(jnp.asarray(data)))
+            np.testing.assert_array_equal(got, self._ref_encode(data), err_msg=f"n={n}")
+
+    def test_decode_matches_reference_with_errors(self):
+        rng = np.random.default_rng(12)
+        for n in [1, 3, 64, 200]:
+            data = rng.integers(0, 256, n, dtype=np.uint8)
+            coded = self._ref_encode(data)
+            # flip one random bit per codeword region in a few places
+            bad = coded.copy()
+            for pos in rng.integers(0, coded.shape[0], 5):
+                bad[pos] ^= np.uint8(1) << rng.integers(0, 8)
+            got = np.asarray(hamming.decode(jnp.asarray(bad), n))
+            np.testing.assert_array_equal(got, self._ref_decode(bad, n), err_msg=f"n={n}")
+
+    def test_batched_matches_flat(self):
+        rng = np.random.default_rng(13)
+        data = rng.integers(0, 256, (5, 96), dtype=np.uint8)
+        enc = np.asarray(hamming.encode(jnp.asarray(data)))
+        for i in range(5):
+            np.testing.assert_array_equal(enc[i], self._ref_encode(data[i]))
+        dec = np.asarray(hamming.decode(jnp.asarray(enc), 96))
+        np.testing.assert_array_equal(dec, data)

@@ -242,3 +242,60 @@ def test_decode_burst_through_channel(frames):
     for i, (p, d, ok) in enumerate(results):
         assert ok
         np.testing.assert_array_equal(d, datas[i])
+
+
+def test_fused_hamming_matches_unfused(frames):
+    """The in-graph Hamming tail must equal the two-stage host composition:
+    decode raw payload bytes (fec=None), then hamming.decode on host —
+    including correction of injected single-bit errors per codeword."""
+    datas, tx = frames
+    spacing = tx.shape[1]
+    plen = coded_len(96, "hamming")
+
+    # flip one bit in one codeword of frame 2's payload region: re-encode a
+    # corrupted codeword stream and splice it back through the modem
+    coded = np.stack([np.asarray(hamming.encode(jnp.asarray(d)))
+                      for d in datas])
+    corrupted = coded.copy()
+    corrupted[2, 3] ^= 0x10          # single bit error inside codeword bits
+    tx2 = np.asarray(ot.encode(corrupted, guard_bands=True,
+                               modulation=ot.Modulation.QPSK,
+                               dtype=jnp.complex128))
+    stream = jnp.asarray(tx2.reshape(-1))
+
+    fused, oks = decode_regular(
+        stream, n_frames=4, spacing=spacing, payload_len=plen,
+        modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    raw, _ = decode_regular(
+        stream, n_frames=4, spacing=spacing, payload_len=plen,
+        modulation=ot.Modulation.QPSK, fec=None)
+    unfused = np.stack([np.asarray(hamming.decode(jnp.asarray(r), 96))
+                        for r in raw])
+    assert oks.all()
+    np.testing.assert_array_equal(fused, unfused)
+    for i in range(4):   # the injected error is corrected
+        np.testing.assert_array_equal(fused[i], datas[i])
+
+
+def test_fused_hamming_presync(frames):
+    datas, tx = frames
+    spacing = tx.shape[1]
+    stream = jnp.asarray(tx.reshape(-1))
+    payloads, oks = decode_regular(
+        stream, n_frames=4, spacing=spacing,
+        payload_len=coded_len(96, "hamming"), modulation=ot.Modulation.QPSK,
+        fec="hamming", data_len=96, resync=False)
+    assert oks.all()
+    for i in range(4):
+        np.testing.assert_array_equal(payloads[i], datas[i])
+
+
+def test_encode_hamming_fused_matches_two_stage():
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, (3, 96), dtype=np.uint8)
+    fused = np.asarray(ot.encode_hamming(jnp.asarray(data), guard_bands=True,
+                                         modulation=ot.Modulation.QPSK))
+    coded = np.asarray(hamming.encode(jnp.asarray(data)))
+    two_stage = np.asarray(ot.encode(coded, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(fused, two_stage)
