@@ -97,3 +97,16 @@ def test_rx_stream_continuous_burst():
     args = ["--buffers", "2", "--buffer-len", "32768", "--continuous"]
     assert rx_stream.main(args) == 0
     assert rx_stream.main(args + ["--scan-loop"]) == 0
+
+
+def test_ber_sweep(capsys):
+    import json
+
+    from ofdm_tpu.apps import ber_sweep
+    rc = ber_sweep.main(["--snrs", "0", "30", "--modulations", "qpsk",
+                         "--batch", "4", "--payload", "64", "--json"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    curve = res["ber"]["qpsk"]
+    assert curve[1] == 0.0          # clean at the reference operating SNR
+    assert curve[0] > curve[1]      # waterfall: worse at 0 dB

@@ -257,3 +257,50 @@ def test_decode_regular_sharded_no_retrace(rng):
     assert ok1.all() and ok2.all()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(p1, np.stack(datas))
+
+
+def test_data_sharded_streaming_no_collectives():
+    """Data-parallel streaming graphs communicate NOTHING: the sharded
+    multi-frame extractor+decoder(+fused Hamming), the burst frame scan, and
+    the burst positional decode must compile with zero collective ops of any
+    kind (each row's work is device-local; only the tiny decoded outputs are
+    ever gathered, by the host fetch, not inside the step)."""
+    from ofdm_tpu.config import DEFAULT_CONFIG as cfg
+    from ofdm_tpu.parallel import pipeline as pl
+    from ofdm_tpu.phy import streaming as st
+    from ofdm_tpu.phy.rx import decode_frame
+
+    mesh = make_mesh(n_data=8, n_time=1)
+    mod = ot.Modulation.QPSK
+    n_bytes = 96
+    plen = st.coded_len(n_bytes, "hamming")
+    nb = ot.n_data_blocks(plen, mod, True)
+    flen = cfg.sync_len + nb * cfg.sym_len
+    spacing, n_rows = flen, 8
+    need = n_rows * spacing + cfg.sym_len
+
+    @jax.jit
+    def regular(s, first):
+        rows = pl._extract_rows(mesh, need, spacing, flen, n_rows, cfg)(s, first)
+        out = decode_frame(rows, n_blocks=nb, guard_bands=True,
+                           modulation=mod, cfg=cfg, search_window=cfg.sym_len)
+        return st._defec_hamming_device(out, payload_len=plen, n_bytes=n_bytes)
+
+    graphs = {
+        "regular+hamming": regular.lower(
+            jax.ShapeDtypeStruct((need,), jnp.complex64),
+            jax.ShapeDtypeStruct((), jnp.int32)).compile().as_text(),
+        "burst_scan": pl._scan_windows_sharded(mesh, 8, flen, cfg).lower(
+            jax.ShapeDtypeStruct((8 * flen,), jnp.complex64)
+        ).compile().as_text(),
+        "burst_decode": pl._decode_at_positions_sharded(
+            mesh, 8, nb, flen, True, mod, cfg).lower(
+            jax.ShapeDtypeStruct((8 * flen,), jnp.complex64),
+            jax.ShapeDtypeStruct((8,), jnp.int32)).compile().as_text(),
+    }
+    for name, txt in graphs.items():
+        inv = _collective_inventory(txt)
+        assert inv["total_bytes"] == 0 and all(
+            inv[k] == 0 for k in ("all-gather", "all-to-all",
+                                  "reduce-scatter", "collective-permute",
+                                  "all-reduce")), f"{name}: {inv}"
