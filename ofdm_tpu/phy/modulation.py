@@ -103,6 +103,72 @@ def modulate_bits(bits: jnp.ndarray, scheme: Modulation,
     return re.astype(dtype) + 1j * im.astype(dtype)
 
 
+def _symbol_codes(re: jnp.ndarray, im: jnp.ndarray,
+                  scheme: Modulation) -> jnp.ndarray:
+    """Hard-decision per-symbol bit codes: uint8[..., n_syms], bits LSB-first
+    (bit 0 = first bit of the symbol on the wire).  Same decision logic as
+    demodulate_symbols, without expanding to a bit tensor."""
+    if scheme is Modulation.BPSK:
+        return (re > 0.0).astype(jnp.uint8)
+    if scheme is Modulation.QPSK:
+        l = re >= 0.0
+        r = jnp.where(l, im >= 0.0, im > 0.0)
+        return l.astype(jnp.uint8) | (r.astype(jnp.uint8) << jnp.uint8(1))
+    bps = BITS_PER_SYMBOL[scheme]
+    half = bps // 2
+    n_levels = 1 << half
+    gray = jnp.asarray(_gray_from_rank(half).astype(np.uint8))
+
+    def axis_code(v):
+        rank = jnp.clip(jnp.round((v + (n_levels - 1)) / 2.0),
+                        0, n_levels - 1).astype(jnp.int32)
+        return gray[rank]
+
+    return axis_code(re) | (axis_code(im) << jnp.uint8(half))
+
+
+def demodulate_symbols_packed(syms: jnp.ndarray,
+                              scheme: Modulation) -> jnp.ndarray:
+    """complex[..., n_syms] -> uint8[..., n_syms*bps//8] packed bytes.
+
+    Byte-identical to ``bits_to_bytes(demodulate_symbols(syms, scheme))``
+    (locked by tests) but TPU-first: per-symbol uint8 codes + elementwise
+    shift/or packing on [..., G, g] groups — no n_syms*bps bool bit tensor
+    and no 8-minor repack reshape (the same SoA treatment as fec/hamming.py).
+    """
+    bps = BITS_PER_SYMBOL[scheme]
+    c = _symbol_codes(jnp.real(syms), jnp.imag(syms), scheme)
+    n_sym = c.shape[-1]
+    n_bytes = n_sym * bps // 8
+    if scheme is Modulation.QAM256:
+        return c[..., :n_bytes]
+    g = {1: 8, 2: 4, 4: 2, 6: 4}[bps]          # symbols per pack group
+    nb = g * bps // 8                          # bytes per pack group
+    n_grp = -(-n_sym // g)
+    c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, n_grp * g - n_sym)])
+    c = c.reshape(*c.shape[:-1], n_grp, g)
+    cj = [c[..., j] for j in range(g)]
+    u8 = jnp.uint8
+    if bps == 1:
+        out = cj[0]
+        for j in range(1, 8):
+            out = out | (cj[j] << u8(j))
+        out = out[..., None]
+    elif bps == 2:
+        out = (cj[0] | (cj[1] << u8(2)) | (cj[2] << u8(4))
+               | (cj[3] << u8(6)))[..., None]
+    elif bps == 4:
+        out = (cj[0] | (cj[1] << u8(4)))[..., None]
+    else:                                      # 6: 4 symbols -> 3 bytes
+        out = jnp.stack([
+            cj[0] | (cj[1] << u8(6)),
+            (cj[1] >> u8(2)) | (cj[2] << u8(4)),
+            (cj[2] >> u8(4)) | (cj[3] << u8(2)),
+        ], axis=-1)
+    out = out.reshape(*out.shape[:-2], n_grp * nb)
+    return out[..., :n_bytes]
+
+
 def demodulate_symbols(syms: jnp.ndarray, scheme: Modulation) -> jnp.ndarray:
     """complex[..., n_syms] -> bool[..., n_syms * bits/sym] (hard decision)."""
     re = jnp.real(syms)

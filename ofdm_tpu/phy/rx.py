@@ -192,8 +192,11 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
             y = fft(data_t)
         eq = y / h_k[..., None, :]
         syms = _equalize_and_extract(eq, guard_bands, cfg)
-    bits = demodulate_symbols(syms, modulation)
-    out = bits_to_bytes(bits)
+    # SoA demod+pack: per-symbol uint8 codes + shift/or packing — no
+    # n_syms*bps bool bit tensor (byte-identical, locked by tests; the same
+    # treatment as fec/hamming.py)
+    from .modulation import demodulate_symbols_packed
+    out = demodulate_symbols_packed(syms, modulation)
     diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms,
             "chunk6_pre": chunk6_pre, "chunk6_post": chunks[..., 6, :]}
     return out, diag

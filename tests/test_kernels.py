@@ -95,3 +95,29 @@ def test_fused_sync_align_matches_xla():
     ref = np.asarray(_planar_align(s, offs, need, impl="xla"))
     got = np.asarray(sync_align(s, tpl, need, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_demodulate_symbols_packed_parity():
+    """Packed SoA demod == bits_to_bytes(demodulate_symbols(...)) for every
+    scheme, including QPSK's im==0 fallthrough edges and non-group-aligned
+    symbol counts."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofdm_tpu.core.bitops import bits_to_bytes
+    from ofdm_tpu.phy.modulation import (Modulation, demodulate_symbols,
+                                         demodulate_symbols_packed)
+
+    rng = np.random.default_rng(21)
+    for scheme in Modulation:
+        for n_sym in [4, 7, 12, 33, 128]:
+            re = rng.normal(0, 4, (3, n_sym))
+            im = rng.normal(0, 4, (3, n_sym))
+            # exercise exact-zero edges (QPSK decision table fallthrough)
+            re[0, : n_sym // 2] = 0.0
+            im[1, : n_sym // 2] = 0.0
+            syms = jnp.asarray(re + 1j * im, jnp.complex64)
+            want = np.asarray(bits_to_bytes(demodulate_symbols(syms, scheme)))
+            got = np.asarray(demodulate_symbols_packed(syms, scheme))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"{scheme} n_sym={n_sym}")
