@@ -103,6 +103,57 @@ def modulate_bits(bits: jnp.ndarray, scheme: Modulation,
     return re.astype(dtype) + 1j * im.astype(dtype)
 
 
+def modulate_bytes_packed(data: jnp.ndarray, scheme: Modulation,
+                          dtype=jnp.complex64) -> jnp.ndarray:
+    """uint8[..., n] payload bytes -> complex[..., ceil(n*8/bps)] symbols.
+
+    Identical values to ``modulate_bits(bytes_to_bits(data), scheme)`` (same
+    level tables, same zero-padded partial tail symbol; locked by tests) but
+    TPU-first: per-symbol bps-bit codes are extracted from byte groups with
+    elementwise shift/or math — no n*8 bool bit tensor, no bps-minor reshape
+    (the tx dual of demodulate_symbols_packed).
+    """
+    data = data.astype(jnp.uint8)
+    bps = BITS_PER_SYMBOL[scheme]
+    n = data.shape[-1]
+    n_sym = -(-n * 8 // bps)
+    u8 = jnp.uint8
+    if scheme is Modulation.QAM256:
+        c = data
+    else:
+        gb = {1: 1, 2: 1, 4: 1, 6: 3}[bps]    # bytes per extract group
+        gs = gb * 8 // bps                    # symbols per extract group
+        n_grp = -(-n // gb)
+        b = jnp.pad(data, [(0, 0)] * (data.ndim - 1) + [(0, n_grp * gb - n)])
+        b = b.reshape(*b.shape[:-1], n_grp, gb)
+        if bps == 1:
+            cs = [(b[..., 0] >> u8(j)) & u8(1) for j in range(8)]
+        elif bps == 2:
+            cs = [(b[..., 0] >> u8(2 * j)) & u8(3) for j in range(4)]
+        elif bps == 4:
+            cs = [b[..., 0] & u8(15), b[..., 0] >> u8(4)]
+        else:                                  # 6: 3 bytes -> 4 symbols
+            b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+            cs = [b0 & u8(63),
+                  (b0 >> u8(6)) | ((b1 & u8(15)) << u8(2)),
+                  (b1 >> u8(4)) | ((b2 & u8(3)) << u8(4)),
+                  b2 >> u8(2)]
+        c = jnp.stack(cs, axis=-1).reshape(*b.shape[:-2], n_grp * gs)
+    c = c[..., :n_sym]
+    rd = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    if scheme is Modulation.BPSK:
+        return jnp.where(c != 0, rd(1.0), rd(-1.0)).astype(dtype)
+    if scheme is Modulation.QPSK:
+        re = jnp.where(c & u8(1), rd(1.0), rd(-1.0))
+        im = jnp.where(c & u8(2), rd(1.0), rd(-1.0))
+        return re.astype(dtype) + 1j * im.astype(dtype)
+    half = bps // 2
+    levels = jnp.asarray(_gray_levels(half), dtype=rd)
+    re = levels[(c & u8((1 << half) - 1)).astype(jnp.int32)]
+    im = levels[(c >> u8(half)).astype(jnp.int32)]
+    return re.astype(dtype) + 1j * im.astype(dtype)
+
+
 def _symbol_codes(re: jnp.ndarray, im: jnp.ndarray,
                   scheme: Modulation) -> jnp.ndarray:
     """Hard-decision per-symbol bit codes: uint8[..., n_syms], bits LSB-first

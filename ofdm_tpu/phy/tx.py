@@ -22,10 +22,9 @@ import numpy as np
 
 from .. import constants
 from ..config import DEFAULT_CONFIG, FrameConfig
-from ..core.bitops import bytes_to_bits
 from ..ops.fft import ifft
 from ..packets.header import Header
-from .modulation import BITS_PER_SYMBOL, Modulation, modulate_bits
+from .modulation import BITS_PER_SYMBOL, Modulation
 
 
 @lru_cache(maxsize=None)
@@ -127,8 +126,10 @@ def encode_payload(payload: jnp.ndarray, *, guard_bands: bool = False,
     """
     if pack_spectrum is None:
         pack_spectrum = guard_bands and jnp.dtype(dtype) == jnp.complex64
-    bits = bytes_to_bits(payload)
-    syms = modulate_bits(bits, modulation, dtype=dtype)
+    # SoA byte->symbol mapping: no bit-tensor expansion (value-identical to
+    # modulate_bits(bytes_to_bits(payload)); locked by tests + golden frames)
+    from .modulation import modulate_bytes_packed
+    syms = modulate_bytes_packed(payload, modulation, dtype=dtype)
     if pack_spectrum and guard_bands:
         from ..ops.fft import idft_matmul_rows
         grouped = _group_symbols(syms, cfg.carriers_per_block(True))
@@ -151,8 +152,8 @@ def encode_hamming(data: jnp.ndarray, *, guard_bands: bool = False,
                    dtype=jnp.complex64) -> jnp.ndarray:
     """Fused FEC + modem encoder: uint8[..., n] USER bytes -> frames whose
     payload is the Hamming(7,4)-coded stream (the tx dual of the fused rx
-    Hamming tail in phy/streaming.py).  One dispatch: FEC bit matmuls +
-    header + modulation + packed IFFT.  Wire-identical to
+    Hamming tail in phy/streaming.py).  One dispatch: SoA FEC bit math +
+    header + SoA byte->symbol mapping + packed IFFT.  Wire-identical to
     ``encode(hamming.encode(data), ...)``.
     """
     from ..fec import hamming

@@ -121,3 +121,27 @@ def test_demodulate_symbols_packed_parity():
             got = np.asarray(demodulate_symbols_packed(syms, scheme))
             np.testing.assert_array_equal(
                 got, want, err_msg=f"{scheme} n_sym={n_sym}")
+
+
+def test_modulate_bytes_packed_parity():
+    """SoA byte->symbol mapping == modulate_bits(bytes_to_bits(...)) exactly
+    (same level constants, same zero-padded tail symbol) for every scheme,
+    both dtypes, and non-group-aligned byte counts."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofdm_tpu.core.bitops import bytes_to_bits
+    from ofdm_tpu.phy.modulation import (Modulation, modulate_bits,
+                                         modulate_bytes_packed)
+
+    rng = np.random.default_rng(22)
+    for scheme in Modulation:
+        for n in [1, 2, 3, 5, 17, 96]:
+            data = jnp.asarray(rng.integers(0, 256, (2, n), dtype=np.uint8))
+            for dtype in (jnp.complex64, jnp.complex128):
+                want = np.asarray(modulate_bits(bytes_to_bits(data), scheme,
+                                                dtype=dtype))
+                got = np.asarray(modulate_bytes_packed(data, scheme,
+                                                       dtype=dtype))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"{scheme} n={n} {dtype}")
