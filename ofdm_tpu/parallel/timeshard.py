@@ -42,9 +42,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import constants
 from ..config import DEFAULT_CONFIG, FrameConfig
-from ..core.bitops import bits_to_bytes
 from ..ops.fft import dft_matmul_select, fft
-from ..phy.modulation import BITS_PER_SYMBOL, Modulation, demodulate_symbols
+from ..phy.modulation import (BITS_PER_SYMBOL, Modulation,
+                              demodulate_symbols_packed)
 from ..phy.rx import _cfo_estimate
 from .halo import global_argmax
 from .mesh import DATA_AXIS, TIME_AXIS
@@ -175,8 +175,7 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
         else:
             y = fft(data_t)
             syms = y / h_k[..., None, :]
-        bits = demodulate_symbols(syms, modulation)                 # [B, M, 8*bpb]
-        by = bits_to_bytes(bits)                                    # [B, M, bpb]
+        by = demodulate_symbols_packed(syms, modulation)            # [B, M, bpb]
 
         # --- scatter decoded bytes into block order (one-hot + psum) --------
         # uint8 values are exact in f32/f64; the matmul rides the MXU and the

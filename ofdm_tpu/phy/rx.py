@@ -32,12 +32,11 @@ import numpy as np
 
 from .. import constants
 from ..config import DEFAULT_CONFIG, FrameConfig
-from ..core.bitops import bits_to_bytes
 from ..core.transfer import to_device, to_host
 from ..ops.fft import fft
 from ..ops.xcorr import locking_sync_offset
 from ..packets.header import HEADER_LEN, Header
-from .modulation import Modulation, demodulate_symbols
+from .modulation import Modulation
 
 
 class DecodeError(ValueError):
