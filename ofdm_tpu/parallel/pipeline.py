@@ -126,10 +126,12 @@ def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
     n_rows = -(-n_frames // n_dev) * n_dev        # pad rows to the data axis
     need = n_rows * spacing + cfg.sym_len
 
-    first = max(int(_s._first_sync(samples, spacing=spacing, need=need,
-                                   cfg=cfg)), 0)
+    # device-resident sync result: no blocking d2h between the dispatches
+    # (see phy.streaming.decode_regular)
+    first = jnp.maximum(_s._first_sync(samples, spacing=spacing, need=need,
+                                       cfg=cfg), 0).astype(jnp.int32)
     rows = _extract_rows(mesh, need, spacing, flen, n_rows, cfg)(
-        samples, jnp.int32(first))
+        samples, first)
     out = rx_mod.decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
                               modulation=modulation, cfg=cfg,
                               search_window=cfg.sym_len)

@@ -378,7 +378,8 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     aligned = aligned.reshape(*batch_shape, need)
 
     # "auto" resolves to the XLA tail: the fused Pallas tail measured SLOWER
-    # on the attached chip (1.85 vs 1.24 ms at the headline shape — XLA's
+    # on the attached chip (1.85 vs 1.24 ms at the headline shape, and the
+    # round-2 SoA packed demod widened the gap to 0.92 ms — XLA's
     # own fusions already keep the tail short, and the planar-DFT feed reads
     # the packed input twice); see tools/exp_demod_tail.py and
     # docs/BENCHMARKS.md.  "pallas" forces the kernel path.

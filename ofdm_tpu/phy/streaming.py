@@ -161,22 +161,26 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     assert spacing >= flen, f"spacing {spacing} < frame length {flen}"
     need = n_frames * spacing + cfg.sym_len
 
-    # One sync for the first frame, then slice periodically — all device work
-    # in fused jit graphs (eager pad/stack is unreliable on some TPU
-    # runtimes).
-    first = max(int(_first_sync(samples, spacing=spacing, need=need, cfg=cfg)), 0)
+    # One sync for the first frame, then slice periodically.  The sync
+    # result STAYS ON DEVICE: pulling it to host (int(...)) would insert a
+    # blocking d2h round trip between the two dispatches — ~25 ms on
+    # tunneled runtimes, and a pipeline bubble everywhere — so the whole
+    # buffer decodes with zero host synchronization until the output fetch.
+    first = jnp.maximum(
+        _first_sync(samples, spacing=spacing, need=need, cfg=cfg),
+        0).astype(jnp.int32)
     fn = _extract_and_decode if resync else _extract_and_decode_presync
     n_bytes = data_len if data_len is not None else payload_len
     if fec == "hamming":
-        # Hamming decode (bit matmuls) fuses INTO the decode graph: one
+        # Hamming decode (bit math) fuses INTO the decode graph: one
         # dispatch demods + corrects every frame, and only the corrected
         # user bytes ever leave the device.
-        out = fn(samples, jnp.int32(first), n_frames=n_frames,
+        out = fn(samples, first, n_frames=n_frames,
                  spacing=spacing, need=need, nb=nb, flen=flen,
                  guard_bands=guard_bands, modulation=modulation, cfg=cfg,
                  payload_len=payload_len, n_bytes=n_bytes, fec="hamming")
         return np.asarray(out), np.ones(n_frames, bool)
-    out = fn(samples, jnp.int32(first), n_frames=n_frames,
+    out = fn(samples, first, n_frames=n_frames,
              spacing=spacing, need=need, nb=nb, flen=flen,
              guard_bands=guard_bands, modulation=modulation,
              cfg=cfg)
