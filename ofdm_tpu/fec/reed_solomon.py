@@ -292,6 +292,26 @@ def encode_stream(data: bytes | np.ndarray) -> np.ndarray:
     return encode_blocks(padded.reshape(n_blocks, K)).reshape(-1)
 
 
+def decode_payload_rows(rows: np.ndarray, n_bytes: int):
+    """Batched ``decode_stream`` over frame rows: uint8[R, payload_len] ->
+    (uint8[R, n_bytes], ok[R]) with ONE codec call for all rows.
+
+    Row framing is identical to ``decode_stream`` (255-byte chunks, the final
+    partial chunk zero-padded, plus the reference's unconditional trailing
+    block — src/utils.rs:152-180), but every row's blocks are concatenated
+    into a single ``decode_blocks`` call so the GFNI codec's 64-block SoA
+    tiles stay filled (native/rs_codec.cpp): the streaming hot path used to
+    pay one underfilled FFI call per 33-block frame row."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    r, plen = rows.shape
+    n_blk = plen // N + 1          # the None arm always decodes the scratch buf
+    padded = np.zeros((r, n_blk * N), dtype=np.uint8)
+    padded[:, :plen] = rows
+    out, ok = decode_blocks(padded.reshape(r * n_blk, N))
+    data = out.reshape(r, n_blk * K)[:, :n_bytes]
+    return data, ok.reshape(r, n_blk).all(axis=1)
+
+
 def decode_stream(coded: bytes | np.ndarray):
     """Reference framing (src/utils.rs:152-180): 255-byte chunks, the final
     partial chunk zero-padded and decoded too.  Returns (data, ok) where

@@ -145,13 +145,8 @@ def decode_regular_sharded(samples, mesh, *, n_frames: int, spacing: int,
                                        n_bytes=n_bytes)
         return np.asarray(dec)[:n_frames], np.ones(n_frames, bool)
     raw = np.asarray(out)[:n_frames, HEADER_LEN:HEADER_LEN + payload_len]
-    payloads, oks = [], []
-    for r in raw:
-        p, ok = _s._defec(r, fec, data_len if data_len is not None
+    return _s._defec_rows(raw, fec, data_len if data_len is not None
                           else payload_len)
-        payloads.append(p)
-        oks.append(ok)
-    return np.stack(payloads), np.asarray(oks)
 
 
 @lru_cache(maxsize=None)
@@ -232,12 +227,10 @@ def decode_burst_sharded(samples, mesh, *, payload_len: int,
             samples, jnp.asarray(pos)))
 
     from ..packets.header import HEADER_LEN
-    results = []
-    for i, p in enumerate(detections):
-        payload = out[i, HEADER_LEN:HEADER_LEN + payload_len]
-        d, ok = _s._defec(payload, fec, n_out)
-        results.append((p, d, ok))
-    return results
+    raw = out[:len(detections), HEADER_LEN:HEADER_LEN + payload_len]
+    payloads, oks = _s._defec_rows(raw, fec, n_out)
+    return [(p, payloads[i], bool(oks[i]))
+            for i, p in enumerate(detections)]
 
 
 def make_pipeline_step(mesh, *, payload_len: int, guard_bands: bool = True,

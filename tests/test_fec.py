@@ -139,6 +139,25 @@ class TestReedSolomon:
                                       data[nerrs <= rs.ECC // 2])
         assert not ok[nerrs > rs.ECC // 2].any()
 
+    def test_decode_payload_rows_matches_per_row_stream(self):
+        # The batched row decoder (ONE codec call for a whole capture buffer)
+        # must equal decode_stream applied per row — bytes and ok flags —
+        # including corrected rows and an uncorrectable row.
+        rng = np.random.default_rng(321)
+        n_bytes = 500                     # 3 blocks/row incl. trailing block
+        rows_data = rng.integers(0, 256, (6, n_bytes), dtype=np.uint8)
+        coded = np.stack([rs.encode_stream(r) for r in rows_data])
+        # row 1: 16 errors in block 0 (correctable); row 3: 17 (not)
+        coded[1, rng.choice(255, 16, replace=False)] ^= 0x5A
+        coded[3, rng.choice(255, 17, replace=False)] ^= 0xA5
+        got, ok = rs.decode_payload_rows(coded, n_bytes)
+        for i in range(6):
+            ref, ref_ok = rs.decode_stream(coded[i])
+            assert bool(ok[i]) == ref_ok
+            np.testing.assert_array_equal(got[i], ref[:n_bytes])
+        np.testing.assert_array_equal(got[ok], rows_data[ok])
+        assert not ok[3]
+
 
 class TestEndToEndWithFec:
     """FEC composed with the modem: the lab3b_image/lab3c configuration."""
