@@ -64,11 +64,34 @@ def _bytes_per_block(cfg: FrameConfig, guard_bands: bool,
 def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
                           modulation: Modulation,
                           cfg: FrameConfig = DEFAULT_CONFIG,
-                          cfo_estimator: str = "coherent"):
+                          cfo_estimator: str = "coherent",
+                          search_window: int | None = None,
+                          fec: str | None = None,
+                          payload_len: int = 0, data_len: int = 0):
     """Build the shard_map'd decode: complex[B, T] (B over ``data``, T over
     ``time``; T_local a multiple of sym_len) -> uint8[B, n_bytes] replicated
     along ``time``.  Composable inside an enclosing jit (the pipeline step).
+
+    ``search_window`` bounds the sync scan to global frame starts
+    < search_window + sym_len, mirroring ``decode_frame``'s truncated-buffer
+    acquisition (streaming reacquisition: the frame start is approximately
+    known).  Deviation from decode_frame at the window edge only: the
+    single-device path's correlation windows see zeros past the truncated
+    buffer, while shards see the real stream continuing — a near-peak whose
+    80-sample window straddles the boundary can differ.  In-window peaks are
+    byte-identical (tests/test_timeshard.py).
+
+    ``fec="hamming"`` runs the SoA Hamming(7,4) tail (fec/hamming.py) on the
+    replicated post-psum bytes — BASELINE config 4 riding the time axis; the
+    output becomes uint8[B, data_len] corrected user bytes (header stripped).
+    The bit math is deterministic and elementwise, so every shard computes
+    the same replicated result with zero additional collectives (the HLO
+    audit in tests/test_parallel.py stays green).
     """
+    if fec not in (None, "hamming"):
+        raise ValueError(f"timesharded fec supports None/'hamming', got {fec!r}")
+    if fec == "hamming" and not (payload_len and data_len):
+        raise ValueError("fec='hamming' needs payload_len and data_len")
     sym = cfg.sym_len
     n_sync = cfg.n_sync_chunks
     n_chunks = n_sync + n_blocks
@@ -110,6 +133,13 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
         c = sliding_correlation(ext, template)
         c = c[:, k - 1: k - 1 + t_loc]       # lags s0 .. s0 + T_loc - 1
         power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+        if search_window is not None:
+            # decode_frame truncates the scan buffer to W + sym_len samples;
+            # zero the out-of-window lags instead (power >= 0, and an
+            # all-zero scan ties to the lowest index on both paths)
+            pos = my_t * t_loc + jnp.arange(t_loc)
+            power = jnp.where(pos[None, :] < search_window + sym,
+                              power, jnp.zeros_like(power))
         off = global_argmax(power, TIME_AXIS) - 1          # [B] replicated
         off = jnp.clip(off, 0, t_glob - need)
 
@@ -184,7 +214,14 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
                                        + n_sync)).astype(rd)
         out = jnp.einsum("bmk,bmn->bnk", by.astype(rd), oh_data, precision=hi)
         out = jax.lax.psum(out, TIME_AXIS)
-        return out.reshape(b_loc, n_blocks * bpb).astype(jnp.uint8)
+        out = out.reshape(b_loc, n_blocks * bpb).astype(jnp.uint8)
+        if fec == "hamming":
+            # replicated post-psum: pure elementwise uint8 bit math, no
+            # further collectives; only corrected user bytes leave the graph
+            from ..fec import hamming
+            h0 = cfg.header_len_bytes
+            out = hamming.decode(out[..., h0:h0 + payload_len], data_len)
+        return out
 
     return shard_map(local_fn, mesh=mesh,
                      in_specs=P(DATA_AXIS, TIME_AXIS),
@@ -272,10 +309,14 @@ def channel_timesharded_fn(mesh, *, snr: float | None = 30.0,
 
 @lru_cache(maxsize=None)
 def _jitted(mesh, n_blocks: int, guard_bands: bool, modulation: Modulation,
-            cfg: FrameConfig, cfo_estimator: str):
+            cfg: FrameConfig, cfo_estimator: str,
+            search_window: int | None = None, fec: str | None = None,
+            payload_len: int = 0, data_len: int = 0):
     fn = timesharded_decode_fn(mesh, n_blocks=n_blocks,
                                guard_bands=guard_bands, modulation=modulation,
-                               cfg=cfg, cfo_estimator=cfo_estimator)
+                               cfg=cfg, cfo_estimator=cfo_estimator,
+                               search_window=search_window, fec=fec,
+                               payload_len=payload_len, data_len=data_len)
     return jax.jit(fn)
 
 
@@ -283,13 +324,23 @@ def decode_frame_timesharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
                              guard_bands: bool = False,
                              modulation: Modulation = Modulation.BPSK,
                              cfg: FrameConfig = DEFAULT_CONFIG,
-                             cfo_estimator: str = "coherent") -> jnp.ndarray:
+                             cfo_estimator: str = "coherent",
+                             search_window: int | None = None,
+                             fec: str | None = None,
+                             payload_len: int = 0,
+                             data_len: int = 0) -> jnp.ndarray:
     """Sequence-parallel batched decode: complex[B, T] -> uint8[B, n_bytes].
 
     Byte-identical to ``phy.rx.decode_frame`` but with the sample (time) axis
     sharded over the mesh's ``time`` axis and rows over ``data`` — each shard
     decodes only its local whole symbols (the jit is cached per configuration,
     so streaming calls at one deployment shape never retrace).
+
+    ``search_window`` / ``fec`` mirror the streaming decoders: the former
+    bounds the sync acquisition to a known reacquisition window, the latter
+    fuses the Hamming(7,4) tail in-graph (returns uint8[B, data_len] user
+    bytes — byte-identical to ``decode_frame`` + ``fec.hamming.decode``).
+    See ``timesharded_decode_fn`` for semantics and deviations.
     """
     samples = jnp.asarray(samples)
     squeeze = samples.ndim == 1
@@ -306,5 +357,6 @@ def decode_frame_timesharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
     sharded = jax.device_put(
         samples, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS)))
     out = _jitted(mesh, n_blocks, guard_bands, modulation, cfg,
-                  cfo_estimator)(sharded)
+                  cfo_estimator, search_window, fec, payload_len,
+                  data_len)(sharded)
     return out[0] if squeeze else out

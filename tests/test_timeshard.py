@@ -104,6 +104,73 @@ def test_timesharded_qam64_no_guard_bands(rng):
     np.testing.assert_array_equal(ts, ref)
 
 
+def test_timesharded_hamming_fec_tail(rng):
+    """fec="hamming" on the time axis: byte-identical to decode_frame + the
+    SoA Hamming tail, and recovers the user bytes exactly (BASELINE config 4
+    riding sequence parallelism — VERDICT round-2 missing #3)."""
+    from ofdm_tpu.fec import hamming
+    from ofdm_tpu.phy.streaming import coded_len
+
+    mesh = make_mesh(n_data=1, n_time=8)
+    data_len = 64
+    payload_len = coded_len(data_len, "hamming")
+    user = rng.integers(0, 256, (3, data_len), dtype=np.uint8)
+    frames = np.asarray(ot.encode_hamming(jnp.asarray(user), guard_bands=True,
+                                          modulation=ot.Modulation.QPSK,
+                                          dtype=jnp.complex128))
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QPSK, True)
+    offsets = [0, 641, 2555]
+    T = 5760
+    stream = np.zeros((3, T), np.complex128)
+    for i, off in enumerate(offsets):
+        stream[i, off:off + frames.shape[-1]] = frames[i]
+    stream = jnp.asarray(stream)
+    ts = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=True,
+        modulation=ot.Modulation.QPSK, fec="hamming",
+        payload_len=payload_len, data_len=data_len))
+    ref_raw = np.asarray(ot.decode_frame(stream, n_blocks=nb,
+                                         guard_bands=True,
+                                         modulation=ot.Modulation.QPSK))
+    ref = np.asarray(hamming.decode(
+        jnp.asarray(ref_raw[:, 16:16 + payload_len]), data_len))
+    np.testing.assert_array_equal(ts, ref)
+    np.testing.assert_array_equal(ts, user)
+
+
+def test_timesharded_search_window(rng):
+    """search_window bounds the distributed sync acquisition: a louder decoy
+    frame beyond the window must not steal the argmax; in-window result is
+    byte-identical to decode_frame with the same window."""
+    mesh = make_mesh(n_data=1, n_time=8)
+    payload_len = 90
+    data, tx = _frame(rng, payload_len, ot.Modulation.QPSK, True)
+    data2, tx2 = _frame(rng, payload_len, ot.Modulation.QPSK, True)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QPSK, True)
+    T = 5120
+    stream = np.zeros((2, T), np.complex128)
+    for i, off in enumerate([37, 100]):
+        stream[i, off:off + tx.shape[-1]] = tx
+        decoy = 2600 + i                  # louder frame w/ DIFFERENT payload
+        stream[i, decoy:decoy + tx2.shape[-1]] += 1.5 * tx2
+    stream = jnp.asarray(stream)
+    w = 256
+    ts = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=True,
+        modulation=ot.Modulation.QPSK, search_window=w))
+    ref = np.asarray(ot.decode_frame(stream, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK,
+                                     search_window=w))
+    np.testing.assert_array_equal(ts, ref)
+    np.testing.assert_array_equal(ts[:, 16:16 + payload_len],
+                                  np.tile(data, (2, 1)))
+    # sanity: without the window the decoy wins (different bytes)
+    ts_full = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=True,
+        modulation=ot.Modulation.QPSK))
+    assert not np.array_equal(ts_full, ts)
+
+
 def test_channel_timesharded_conv_matches(rng):
     """Noise/CFO off: the halo-convolved sharded channel equals the
     single-device linear convolution sample for sample (the overlap region
