@@ -27,20 +27,32 @@ from .shift import fft_shift
 
 def locking_sync_quality(samples: jnp.ndarray, template: jnp.ndarray,
                          compute_dtype=None):
-    """(offset, peak_to_average) for frame detection in continuous scanning.
+    """(offset, rho) for frame detection in continuous scanning.
 
     The reference always trusts the global argmax (src/receiver.rs:20-25);
     when scanning long streams with noise-only regions a detection gate is
-    needed: the correlation peak-to-average power ratio is high only when the
-    locking template is actually present.
+    needed.  ``rho`` is the normalized matched filter maximized over lags
+    >= 0: rho[L] = |c[L]|^2 / (E_template * E_window[L]), in [0, 1] by
+    Cauchy-Schwarz — ~snr/(1+snr) at a true locking block, ~ln(T)/K on
+    noise-only or data-only lags, and scale-free.  This is the SAME
+    statistic that gates decode_burst (phy/streaming._scan_windows), so
+    every streaming detection path shares one SNR-swept gate
+    (tests/test_detection_thresholds.py); the previous peak-to-average
+    power gate could be diluted by frame bodies sharing the window.
+    The offset still comes from the correlation-power argmax like every
+    sync path (windows past the stream end see zeros).
     """
     c = sliding_correlation(samples, template, compute_dtype=compute_dtype)
     k = template.shape[-1]
-    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
-    peak = jnp.max(power, axis=-1)
-    par = peak / (jnp.mean(power, axis=-1) + 1e-30)
-    lag = jnp.argmax(power, axis=-1) - (k - 1)
-    return lag - 1, par
+    t = samples.shape[-1]
+    power = (jnp.real(c) ** 2 + jnp.imag(c) ** 2)[..., k - 1:]  # lags 0..T-1
+    e_t = float(np.sum(np.abs(np.asarray(template)) ** 2))
+    en = jnp.real(samples) ** 2 + jnp.imag(samples) ** 2
+    en = jnp.pad(en, [(0, 0)] * (en.ndim - 1) + [(1, k)])
+    cs = jnp.cumsum(en, axis=-1)
+    e_w = cs[..., k:k + t] - cs[..., :t]
+    rho = power / (e_t * e_w + 1e-30)
+    return jnp.argmax(power, axis=-1) - 1, jnp.max(rho, axis=-1)
 
 
 def xcorr_fft(a: jnp.ndarray, b: jnp.ndarray):

@@ -368,7 +368,7 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
                       modulation: Modulation = Modulation.QPSK,
                       fec: str | None = None, data_len: int | None = None,
                       acquisition: int = 4096, max_frames: int | None = None,
-                      detection_par: float = 40.0,
+                      detection_rho: float = 0.3,
                       cfg: FrameConfig = DEFAULT_CONFIG) -> Iterator[tuple]:
     """Scan a stream for frames of a known size; yield (position, payload, ok).
 
@@ -377,6 +377,10 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
     so only two shapes ever compile.  Decode failures advance the window
     rather than aborting (the reference's skip-and-continue policy,
     examples/jetson_rx.rs:87-90).
+
+    ``detection_rho`` is the same normalized-matched-filter gate as
+    decode_burst (rho ~= snr/(1+snr) at a true locking block; 0.3 detects
+    down to ~-4 dB SNR) — one detection statistic across all scanning paths.
     """
     samples = jnp.asarray(samples)
     nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
@@ -389,12 +393,12 @@ def decode_continuous(samples, *, payload_len: int, guard_bands: bool = True,
     t = samples.shape[-1]
 
     while pos + flen <= t and (max_frames is None or found < max_frames):
-        off, par = _scan_at(samples, jnp.int32(min(pos, t)), window=window,
+        off, rho = _scan_at(samples, jnp.int32(min(pos, t)), window=window,
                             acquisition=acquisition, cfg=cfg)
-        off, par = int(off), float(par)
-        # detection gate: noise-only windows have PAR near the extreme-value
-        # expectation (~log T); a real locking block sits far above it
-        if off < 0 or off >= acquisition or par < detection_par:
+        off, rho = int(off), float(rho)
+        # detection gate: noise-only windows score rho ~ ln(W)/K << 0.3; a
+        # real locking block scores ~snr/(1+snr) (Cauchy-Schwarz-bounded)
+        if off < 0 or off >= acquisition or rho < detection_rho:
             pos += acquisition  # nothing here; slide the window
             continue
         out = np.asarray(_dec_at(samples, jnp.int32(min(pos, t)),

@@ -124,14 +124,19 @@ class TestMatmulCorrelation:
         np.testing.assert_allclose(mm, ref, atol=1e-9)
 
     def test_sync_quality_gate(self, rng):
+        # rho is the normalized matched filter in [0, 1]: ~1 at a clean
+        # locking block, ~ln(T)/K on noise-only streams — the shared gate
+        # statistic of decode_burst and decode_continuous.
         from ofdm_tpu.ops.xcorr import locking_sync_quality
         lock = jnp.asarray(constants.locking_signal(80))
         noise = 0.01 * (rng.standard_normal(2000) + 1j * rng.standard_normal(2000))
         with_frame = noise.copy()
         with_frame[500:580] += np.asarray(lock)
-        _, par_noise = locking_sync_quality(jnp.asarray(noise), lock)
-        off, par_frame = locking_sync_quality(jnp.asarray(with_frame), lock)
-        assert float(par_frame) > 5 * float(par_noise)
+        _, rho_noise = locking_sync_quality(jnp.asarray(noise), lock)
+        off, rho_frame = locking_sync_quality(jnp.asarray(with_frame), lock)
+        assert float(rho_frame) > 0.9          # clean block: rho -> 1
+        assert float(rho_noise) < 0.2          # noise floor, below the gate
+        assert float(rho_frame) > 5 * float(rho_noise)
         assert int(off) == 499
 
 
