@@ -32,6 +32,27 @@ def measure_ber(mod: ot.Modulation, snr: float, *, batch: int, payload: int,
     return float(errs) / (data.size * 8)
 
 
+def measure_ber_awgn(mod: ot.Modulation, snr_db: float, *, n_bytes: int,
+                     seed: int) -> float:
+    """Symbol-level AWGN BER of the bare mapper at exact Es/N0 — the
+    decision-boundary measurement comparable to the analytic Gray curve
+    (obs/ber_theory.py; asserted by tests/test_ber_theory.py)."""
+    import jax.numpy as jnp
+
+    from ofdm_tpu.obs.ber_theory import symbol_energy
+    from ofdm_tpu.phy.modulation import (demodulate_symbols_packed,
+                                         modulate_bytes_packed)
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, n_bytes, dtype=np.uint8)
+    syms = np.asarray(modulate_bytes_packed(jnp.asarray(data), mod))
+    n0 = symbol_energy(mod) / 10.0 ** (snr_db / 10.0)
+    noise = math.sqrt(n0 / 2.0) * (rng.standard_normal(syms.shape)
+                                   + 1j * rng.standard_normal(syms.shape))
+    got = np.asarray(demodulate_symbols_packed(
+        jnp.asarray((syms + noise).astype(np.complex64)), mod))
+    return float(np.unpackbits(got ^ data).sum()) / (n_bytes * 8)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--snrs", type=float, nargs="*",
@@ -43,9 +64,28 @@ def main(argv=None):
     p.add_argument("--guard-bands", action="store_true", default=True)
     p.add_argument("--cfo", action="store_true")
     p.add_argument("--json", action="store_true", help="JSON only, no plot")
+    p.add_argument("--awgn-theory", action="store_true",
+                   help="symbol-level AWGN sweep with the analytic Gray-QAM "
+                        "curve printed alongside (Es/N0 dB)")
     args = p.parse_args(argv)
 
     log = set_up_logging("ber_sweep")
+    if args.awgn_theory:
+        from ofdm_tpu.obs.ber_theory import ber_awgn
+        results = {}
+        for name in args.modulations:
+            mod = ot.Modulation(name)
+            rows = []
+            for snr in args.snrs:
+                meas = measure_ber_awgn(mod, snr, n_bytes=3 * (1 << 15),
+                                        seed=int(snr * 10) + 7)
+                theo = ber_awgn(mod, snr)
+                rows.append({"snr": snr, "measured": meas, "theory": theo})
+                log.info("%s @ %.0f dB Es/N0: measured %.3e  theory %.3e",
+                         mod.name, snr, meas, theo)
+            results[name] = rows
+        print(json.dumps({"snrs": args.snrs, "awgn": results}))
+        return 0
     results = {}
     for name in args.modulations:
         mod = ot.Modulation(name)
