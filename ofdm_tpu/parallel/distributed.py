@@ -11,6 +11,10 @@ Usage (one call at process start, before any backend use):
     from ofdm_tpu.parallel.distributed import initialize
     initialize()                       # env-driven (TPU pods auto-detect)
     initialize(coordinator="host0:1234", num_processes=4, process_id=i)
+
+Exercised for real (two OS processes on localhost, gloo CPU collectives,
+full sequence-parallel pipeline step over a global 4x2 mesh with byte
+parity) by tests/test_distributed.py + tools/dist_worker.py.
 """
 
 from __future__ import annotations
