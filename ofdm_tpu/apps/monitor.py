@@ -51,6 +51,12 @@ def main(argv=None):
         for i, buf in enumerate(feed):
             t0 = time.perf_counter()
             try:
+                # Deliberate host-parity `decode` (NOT decode_frame): the
+                # dashboard wants the diagnostics dict (offset, f_delta, h_k,
+                # constellation) and refreshes at human cadence, so the one
+                # blocking ~25 ms RTT per buffer on tunneled runtimes is
+                # irrelevant here — serving paths use decode_frame/
+                # decode_regular instead (CLAUDE.md latency rule).
                 out, diag = ot.decode(buf, guard_bands=True,
                                       modulation=ot.Modulation.QPSK,
                                       return_diagnostics=True)
