@@ -79,7 +79,7 @@ def planar_align(flat: jnp.ndarray, offsets: jnp.ndarray, need: int,
 
 
 def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
-                       n_lag_tiles, lag_bound):
+                       n_lag_tiles, lag_bound, real_template):
     """Fused frame sync + alignment, one VMEM-resident pass per row.
 
     The banded-Toeplitz correlation matmul is the same math as
@@ -96,13 +96,21 @@ def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
     # offset 1 yields a layout Mosaic cannot concatenate or matmul)
     srn = pltpu.roll(sr, shift=n_tiles - 1, axis=0)      # out[i] = sr[i+1]
     sin = pltpu.roll(si, shift=n_tiles - 1, axis=0)
-    # decomposed [.., 512] x [512, 256] product: four partial matmuls over
-    # the Toeplitz row-blocks (Mosaic cannot concatenate the rolled views)
     n = n_lag_tiles
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    c = (dot(sr[:n], w_ref[0:128, :]) + dot(srn[:n], w_ref[128:256, :])
-         + dot(si[:n], w_ref[256:384, :]) + dot(sin[:n], w_ref[384:512, :]))
-    cre, cim = c[:, :128], c[:, 128:]
+    if real_template:
+        # real locking template (ti = 0): c_re/c_im each correlate against
+        # the same [256, 128] Tr — HALF the MACs of the generic complex
+        # form, whose -ti/ti blocks would multiply zeros (roofline round 3)
+        cre = dot(sr[:n], w_ref[0:128, :]) + dot(srn[:n], w_ref[128:256, :])
+        cim = dot(si[:n], w_ref[0:128, :]) + dot(sin[:n], w_ref[128:256, :])
+    else:
+        # decomposed [.., 512] x [512, 256] product: four partial matmuls
+        # over the Toeplitz row-blocks (Mosaic cannot concatenate the
+        # rolled views)
+        c = (dot(sr[:n], w_ref[0:128, :]) + dot(srn[:n], w_ref[128:256, :])
+             + dot(si[:n], w_ref[256:384, :]) + dot(sin[:n], w_ref[384:512, :]))
+        cre, cim = c[:, :128], c[:, 128:]
     power = cre * cre + cim * cim                        # [n_lag_tiles, 128]
     tiles_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
     lanes_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
@@ -136,7 +144,8 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     """
     import numpy as np
 
-    from ..ops.xcorr import _TEMPLATE_STORE, _toeplitz_template
+    from ..ops.xcorr import (_TEMPLATE_STORE, _template_is_real,
+                             _toeplitz_template, _toeplitz_template_real)
 
     r, t = flat.shape
     tpl = np.asarray(template)
@@ -144,7 +153,11 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     assert k <= 128, "sync_align supports templates up to 128 taps"
     key = (tpl.tobytes(), k)
     _TEMPLATE_STORE[key] = tpl
-    w = jnp.asarray(_toeplitz_template(key, k, "float32"))   # [512, 256]
+    real_template = _template_is_real(tpl)
+    if real_template:
+        w = jnp.asarray(_toeplitz_template_real(key, k, "float32"))  # [256,128]
+    else:
+        w = jnp.asarray(_toeplitz_template(key, k, "float32"))       # [512,256]
 
     lag_bound = t if search_window is None else min(t, search_window + k)
     n_lag_tiles = -(-lag_bound // 128)
@@ -159,7 +172,7 @@ def sync_align(flat: jnp.ndarray, template, need: int,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, 2, tiles, 128), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((512, 256), lambda i: (0, 0)),
+            pl.BlockSpec(tuple(w.shape), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 2, n_out_tiles, 128),
                                lambda i: (i, 0, 0, 0)),
@@ -167,7 +180,7 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     out = pl.pallas_call(
         functools.partial(_sync_align_kernel, t=t, need=need,
                           n_out_tiles=n_out_tiles, n_lag_tiles=n_lag_tiles,
-                          lag_bound=lag_bound),
+                          lag_bound=lag_bound, real_template=real_template),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, 2, n_out_tiles, 128), jnp.float32),
         interpret=interpret,

@@ -129,6 +129,25 @@ def _toeplitz_template(template_key, k: int, dtype_name: str):
     return w.astype(dtype_name)
 
 
+@lru_cache(maxsize=None)
+def _toeplitz_template_real(template_key, k: int, dtype_name: str):
+    """Real-template banded Toeplitz Tr[256, 128]: frames_re @ Tr = c_re and
+    frames_im @ Tr = c_im.  The locking template is a pure-real ramp
+    (fft_shift only reorders — src/transmitter.rs:60-72), so the generic
+    complex form's -ti/ti blocks are all zeros and HALF of every sync
+    correlation matmul multiplies zeros; this form does half the MACs for
+    identical results (roofline round 3, tools/exp_roofline.py)."""
+    t = np.asarray(_TEMPLATE_STORE[template_key])
+    tr = np.zeros((256, 128))
+    for b in range(128):
+        tr[b:b + k, b] = t.real
+    return tr.astype(dtype_name)
+
+
+def _template_is_real(tpl: np.ndarray) -> bool:
+    return not np.iscomplexobj(tpl) or not np.any(tpl.imag)
+
+
 _TEMPLATE_STORE: dict = {}
 
 
@@ -152,13 +171,26 @@ def sliding_correlation_matmul(samples: jnp.ndarray, template,
     _TEMPLATE_STORE[key] = tpl
     rd = jnp.float32 if samples.dtype == jnp.complex64 else jnp.float64
     cd = compute_dtype or rd
-    w = jnp.asarray(_toeplitz_template(key, k, jnp.dtype(cd).name))
 
     n_frames = -(-t // 128)
     pad = n_frames * 128 + 256 - t
     x = jnp.pad(samples, ((0, 0), (0, pad)))
     blocks_re = jnp.real(x).astype(cd).reshape(b, -1, 128)
     blocks_im = jnp.imag(x).astype(cd).reshape(b, -1, 128)
+    if _template_is_real(tpl):
+        # real template: c_re = frames_re @ Tr, c_im = frames_im @ Tr —
+        # half the MACs of the generic complex form (re/im stack on the
+        # row axis so it is still ONE matmul)
+        w = jnp.asarray(_toeplitz_template_real(key, k, jnp.dtype(cd).name))
+        frames = jnp.concatenate([
+            jnp.stack([blocks_re[:, :-1], blocks_im[:, :-1]], axis=1),
+            jnp.stack([blocks_re[:, 1:], blocks_im[:, 1:]], axis=1),
+        ], axis=-1)[:, :, :n_frames]                 # [b, 2, nf, 256]
+        out = jnp.matmul(frames, w, preferred_element_type=rd)
+        c = jax.lax.complex(out[:, 0].reshape(b, -1)[:, :t],
+                            out[:, 1].reshape(b, -1)[:, :t])
+        return c[0] if squeeze else c
+    w = jnp.asarray(_toeplitz_template(key, k, jnp.dtype(cd).name))
     frames = jnp.concatenate([
         blocks_re[:, :-1], blocks_re[:, 1:],
         blocks_im[:, :-1], blocks_im[:, 1:]], axis=-1)[:, :n_frames]

@@ -115,6 +115,18 @@ class TestMatmulCorrelation:
             mm = np.asarray(sliding_correlation_matmul(jnp.asarray(x), t))
             np.testing.assert_allclose(mm, ref, atol=1e-9)
 
+    def test_matmul_real_template_path(self, rng):
+        # a pure-real template (the locking ramp) takes the half-MAC
+        # Tr-only path; results must match the direct correlation exactly
+        from ofdm_tpu.ops.xcorr import sliding_correlation_matmul
+        for t in (jnp.asarray(constants.locking_signal(80)),
+                  jnp.asarray(rng.standard_normal(80) + 0j)):
+            x = rng.standard_normal((2, 1000)) + 1j * rng.standard_normal((2, 1000))
+            ref = np.asarray(sliding_correlation(jnp.asarray(x), t))[:, 79:]
+            mm = np.asarray(sliding_correlation_matmul(jnp.asarray(x),
+                                                       np.asarray(t)))
+            np.testing.assert_allclose(mm, ref, atol=1e-9)
+
     def test_short_stream(self, rng):
         from ofdm_tpu.ops.xcorr import sliding_correlation_matmul
         t = rng.standard_normal(80) + 0j
