@@ -103,6 +103,18 @@ def sliding_correlation(samples: jnp.ndarray, template: jnp.ndarray,
     cd = compute_dtype or rd
     lhs = jnp.stack([jnp.real(samples).astype(rd),
                      jnp.imag(samples).astype(rd)], axis=1)   # [B, 2, T]
+    if _template_is_real(np.asarray(template)):
+        # real template (the locking ramp): re/im each correlate with tr
+        # alone — a grouped (depthwise) conv with HALF the MACs
+        rhs = jnp.stack([tr[None], tr[None]])                  # [2, 1, k]
+        out = jax.lax.conv_general_dilated(
+            lhs.astype(cd), rhs.astype(cd), window_strides=(1,),
+            padding=[(k - 1, k - 1)], feature_group_count=2,
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=rd)
+        out = out.reshape(*batch, 2, out.shape[-1])
+        c = jax.lax.complex(out[..., 0, :], out[..., 1, :])
+        return c[0] if squeeze else c
     rhs = jnp.stack([jnp.stack([tr, ti]),                      # out 0: re
                      jnp.stack([-ti, tr])])                    # out 1: im
     out = jax.lax.conv_general_dilated(
