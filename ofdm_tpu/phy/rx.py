@@ -144,6 +144,11 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     # Data blocks: CP strip + DFT + equalize.  dft_precision trades MXU
     # passes for accuracy on the (large) data-block transform; the (small)
     # channel-estimation transform above always stays at full precision.
+    # Default is HIGH (bf16x3): ~2^-16 relative error = a -96 dB noise
+    # floor, >= 40 dB below even QAM256's 55 dB operating point, at half
+    # HIGHEST's MXU passes — 0.773 -> 0.635 ms for the aligned decode at
+    # the headline shape with zero byte errors on every shipped modulation
+    # (tools/exp_roofline2.py + exp_modmatrix_tpu.py, round 3).
     # With guard bands on, the DFT is evaluated only at the 52 used bins
     # (48 data + 4 pilots) as a packed [.., 128] x [128, 104] matmul — the
     # guard bins are never computed and equalize/pilot-phase/demod run on
@@ -152,7 +157,7 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     from ..ops.fft import dft_matmul, dft_matmul_select, dft_matmul_select_planar
     data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
     prec = dft_precision if dft_precision is not None \
-        else jax.lax.Precision.HIGHEST
+        else jax.lax.Precision.HIGH
     if guard_bands:
         nd = len(cfg.data_indices)
         sel = tuple(cfg.data_indices) + tuple(cfg.pilot_indices)

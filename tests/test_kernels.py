@@ -95,6 +95,19 @@ def test_fused_sync_align_matches_xla():
     ref = np.asarray(_planar_align(s, offs, need, impl="xla"))
     got = np.asarray(sync_align(s, tpl, need, interpret=True))
     np.testing.assert_array_equal(got, ref)
+    # the locking template is real, so the above exercises the half-MAC
+    # real-template branch; a genuinely complex template must take the
+    # generic 4-partial branch and find the same windows
+    tpl_c = (tpl * np.exp(0.7j)).astype(np.complex64)
+    s2 = np.asarray(s).copy()
+    for i, d in enumerate(delays):
+        s2[i, d:d + 80] += tpl_c - tpl
+    s2 = jnp.asarray(s2)
+    from ofdm_tpu.ops.xcorr import locking_sync_offset
+    offs2 = jnp.clip(locking_sync_offset(s2, tpl_c), 0, t - need)
+    ref2 = np.asarray(_planar_align(s2, offs2, need, impl="xla"))
+    got2 = np.asarray(sync_align(s2, tpl_c, need, interpret=True))
+    np.testing.assert_array_equal(got2, ref2)
 
 
 def test_demodulate_symbols_packed_parity():

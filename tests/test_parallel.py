@@ -152,15 +152,26 @@ def test_no_time_axis_allgather(rng, n_data, n_time):
 
 
 def test_timesharded_decode_collectives_only_halo_and_reduce(rng):
-    """Standalone time-sharded decoder: same collective guarantee."""
+    """Standalone time-sharded decoder: same collective guarantee — also
+    with the round-3 fused Hamming tail + bounded acquisition (the FEC bit
+    math is replicated post-psum and must add ZERO collectives)."""
     from ofdm_tpu.parallel.timeshard import timesharded_decode_fn
     mesh = make_mesh(n_data=2, n_time=4)
+    x = jax.ShapeDtypeStruct((4, 4 * 640), jnp.complex64)
     fn = jax.jit(timesharded_decode_fn(mesh, n_blocks=7, guard_bands=True,
                                        modulation=ot.Modulation.QPSK))
-    x = jax.ShapeDtypeStruct((4, 4 * 640), jnp.complex64)
     txt = fn.lower(x).compile().as_text()
     inv = _collective_inventory(txt)
     assert inv["all-gather"] == 0 and inv["all-to-all"] == 0, inv
+
+    fn_fec = jax.jit(timesharded_decode_fn(
+        mesh, n_blocks=7, guard_bands=True, modulation=ot.Modulation.QPSK,
+        fec="hamming", payload_len=56, data_len=32, search_window=160))
+    txt_fec = fn_fec.lower(x).compile().as_text()
+    inv_fec = _collective_inventory(txt_fec)
+    assert inv_fec["all-gather"] == 0 and inv_fec["all-to-all"] == 0, inv_fec
+    assert inv_fec["total_bytes"] <= inv["total_bytes"], \
+        "the fused FEC tail must not add collective traffic"
 
 
 def test_decode_regular_sharded_matches_single_device(rng):
