@@ -37,6 +37,8 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if os.environ.get("SERVE_CPU"):          # CPU smoke mode (axon sitecustomize
+    jax.config.update("jax_platforms", "cpu")   # overrides JAX_PLATFORMS env)
 
 import ofdm_tpu as ot
 from ofdm_tpu.config import DEFAULT_CONFIG as cfg
@@ -49,9 +51,11 @@ from ofdm_tpu.packets.header import HEADER_LEN
 MOD = ot.Modulation.QAM64
 W = H = 24                       # reference dancing.bytes image geometry
 USER_BYTES = W * H               # 576 px ids / frame
-N_DISTINCT = 8                   # distinct channel realizations
-ROUNDS = 6                       # total buffers = 48
-IN_FLIGHT = 4
+# env-overridable for CPU smoke runs (tests/test_serving_smoke.py)
+N_DISTINCT = int(os.environ.get("SERVE_DISTINCT", 8))
+ROUNDS = int(os.environ.get("SERVE_ROUNDS", 6))       # buffers = 8 x 6 = 48
+IN_FLIGHT = int(os.environ.get("SERVE_IN_FLIGHT", 4))
+N_FRAMES = int(os.environ.get("SERVE_FRAMES", 780))   # ~2M samples/buffer
 
 
 def log(*a):
@@ -64,7 +68,7 @@ def main():
     nb = ot.n_data_blocks(payload_len, MOD, True)
     flen = cfg.sync_len + nb * cfg.sym_len
     spacing = flen                                     # back-to-back frames
-    n_frames = 780
+    n_frames = N_FRAMES
     buffer_len = n_frames * spacing + 2 * cfg.sym_len
     log(f"frame: {USER_BYTES} user B -> {payload_len} coded B -> {nb} blocks "
         f"-> {flen} samples; {n_frames} frames / {buffer_len}-sample buffer")
