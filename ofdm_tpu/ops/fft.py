@@ -150,6 +150,58 @@ def dft_matmul_select_planar(x: jnp.ndarray, bins: tuple,
 
 
 @lru_cache(maxsize=None)
+def _dft_select_planes(n: int, bins: tuple, dtype_name: str):
+    w = _dft_matrix(n, inverse=False)[:, list(bins)]
+    return (np.ascontiguousarray(w.real).astype(dtype_name),
+            np.ascontiguousarray(w.imag).astype(dtype_name))
+
+
+def dft_matmul_select_derot(x: jnp.ndarray, bins: tuple, omega: jnp.ndarray,
+                            sample_offset: int = 0,
+                            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """``dft_matmul_select`` with a per-row CFO derotation folded into the
+    DFT matrix.
+
+    Computes y[..., c, k] = sum_p x[..., c, p] * exp(-i*omega*(sample_offset
+    + p)) * W[p, bins[k]] — i.e. the DFT of the CFO-derotated symbol — without
+    ever materializing (or re-reading) a derotated copy of the sample stream.
+    The within-symbol phasor phi[p] = exp(-i*omega*(sample_offset + p)) is a
+    rank-1 row scaling of the DFT matrix, so it becomes a per-row batched
+    matmul [..., C, 2n] x [..., 2n, 2k]; the per-row matrix is only
+    2n x 2k f32 (53 KB at the 52-bin guard-band shape) vs the full
+    sample stream, removing the largest HBM tranche of the aligned decode
+    (the full-stream elementwise derotate pass — see docs/BENCHMARKS.md
+    "Roofline").  The remaining per-CHUNK phase exp(-i*omega*c*sym_len) is
+    NOT applied here — the caller multiplies the (small) bin tensor by it,
+    where it fuses into the equalizer.
+
+    ``omega`` has the shape of ``x``'s batch dims (x.shape[:-2]).
+    Mathematically identical to derotate-then-``dft_matmul_select``; results
+    agree to f32 rounding (reduction order differs), not bitwise.
+    """
+    n = x.shape[-1]
+    k = len(bins)
+    real_dtype = jnp.finfo(x.dtype).dtype.name if jnp.iscomplexobj(x) \
+        else x.dtype.name
+    wr, wi = _dft_select_planes(n, tuple(bins), real_dtype)
+    wr = jnp.asarray(wr)
+    wi = jnp.asarray(wi)
+    p_idx = jnp.arange(n, dtype=wr.dtype) + wr.dtype.type(sample_offset)
+    ang = omega[..., None].astype(wr.dtype) * p_idx        # [..., n]
+    cr = jnp.cos(ang)[..., :, None]                        # [..., n, 1]
+    ci = -jnp.sin(ang)[..., :, None]
+    vr = cr * wr - ci * wi                                 # [..., n, k]
+    vi = cr * wi + ci * wr
+    wp = jnp.concatenate(
+        [jnp.concatenate([vr, vi], axis=-1),
+         jnp.concatenate([-vi, vr], axis=-1)], axis=-2)    # [..., 2n, 2k]
+    packed = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
+    out = jnp.matmul(packed, wp, precision=precision,
+                     preferred_element_type=packed.dtype)
+    return jax.lax.complex(out[..., :k], out[..., k:])
+
+
+@lru_cache(maxsize=None)
 def _packed_idft_rows_matrix(n: int, bins: tuple, dtype_name: str) -> np.ndarray:
     w = _dft_matrix(n, inverse=True)[list(bins), :]        # [k, n]
     wr, wi = w.real, w.imag

@@ -90,15 +90,87 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
     return data.reshape(*data.shape[:-2], -1)
 
 
+def _decode_aligned_derot_matrix(aligned, chunks, f_delta, chunk6_pre, *,
+                                 n_chunks: int, guard_bands: bool,
+                                 modulation: Modulation, cfg: FrameConfig,
+                                 dft_precision):
+    """decode_aligned's derot_impl="matrix" tail (see caller for rationale).
+
+    Receives the RAW (un-derotated) chunks; the CFO derotation reaches the
+    data blocks only through the per-row DFT matrix + the per-chunk phase
+    on the bin tensor, so the sample stream is read exactly once (by the
+    DFT matmul).
+    """
+    from ..ops.fft import dft_matmul_select_derot
+    sym = cfg.sym_len
+    rd = jnp.real(aligned).dtype
+
+    def phasor(angles):
+        return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
+
+    # Channel estimate: derotate just the n_training chunks (tiny tensor).
+    t0 = cfg.n_locking + cfg.n_preamble
+    tr_raw = chunks[..., t0:t0 + cfg.n_training, cfg.cp_len:]
+    tr_idx = ((jnp.arange(cfg.n_training, dtype=rd) + t0) * sym)[:, None] \
+        + (jnp.arange(cfg.n_fft, dtype=rd) + cfg.cp_len)[None, :]
+    tr = tr_raw * phasor(f_delta[..., None, None] * tr_idx).astype(tr_raw.dtype)
+    training_ref = jnp.asarray(
+        constants.training_signals(cfg.n_fft, cfg.training_seed),
+        dtype=chunks.dtype)
+    h_k = jnp.mean(fft(tr) / training_ref, axis=-2)
+
+    chunk6_post = chunks[..., 6, :] * phasor(
+        f_delta[..., None] * (jnp.arange(sym, dtype=rd) + 6 * sym)
+    ).astype(chunks.dtype)
+
+    if guard_bands:
+        nd = len(cfg.data_indices)
+        sel = tuple(cfg.data_indices) + tuple(cfg.pilot_indices)
+        default_prec = jax.lax.Precision.HIGH
+    else:
+        nd = cfg.n_fft
+        sel = tuple(range(cfg.n_fft))
+        # stream-path parity: the non-guard arm defaults to the
+        # full-precision transform (channel est divides by these outputs)
+        default_prec = jax.lax.Precision.HIGHEST
+    prec = dft_precision if dft_precision is not None else default_prec
+
+    data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
+    y = dft_matmul_select_derot(data_t, sel, f_delta,
+                                sample_offset=cfg.cp_len, precision=prec)
+    # per-chunk derotation phase, applied on the (small) bin tensor where it
+    # fuses into the equalize divide
+    n_data = n_chunks - cfg.n_sync_chunks
+    rot_dc = phasor(f_delta[..., None]
+                    * ((jnp.arange(n_data, dtype=rd) + cfg.n_sync_chunks)
+                       * sym))
+    y = y * rot_dc[..., :, None].astype(y.dtype)
+
+    if guard_bands:
+        eq = y / h_k[..., sel][..., None, :]
+        phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1, keepdims=True)
+        data = eq[..., :nd] * jnp.exp(-1j * phi.astype(eq.real.dtype)
+                                      ).astype(eq.dtype)
+        syms = data.reshape(*data.shape[:-2], -1)
+    else:
+        eq = y / h_k[..., None, :]
+        syms = _equalize_and_extract(eq, guard_bands, cfg)
+    from .modulation import demodulate_symbols_packed
+    out = demodulate_symbols_packed(syms, modulation)
+    diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms,
+            "chunk6_pre": chunk6_pre, "chunk6_post": chunk6_post}
+    return out, diag
+
+
 @partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation",
                                    "cfg", "dft_precision", "cfo_estimator",
-                                   "demod_impl"))
+                                   "demod_impl", "derot_impl"))
 def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
                    guard_bands: bool = False,
                    modulation: Modulation = Modulation.BPSK,
                    cfg: FrameConfig = DEFAULT_CONFIG,
                    dft_precision=None, cfo_estimator: str = "reference",
-                   demod_impl: str = "xla"):
+                   demod_impl: str = "xla", derot_impl: str = "stream"):
     """Decode a sync-aligned stream of exactly ``n_chunks * sym_len`` samples.
 
     Returns (bytes_u8[..., n_bytes], diagnostics dict).  Batched over leading
@@ -128,6 +200,23 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
 
     def phasor(angles):
         return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
+
+    if derot_impl == "matrix" and demod_impl not in ("pallas", "interpret"):
+        # Fold the within-symbol derotation phasor into a per-row DFT matrix
+        # (ops/fft.py dft_matmul_select_derot) instead of materializing a
+        # derotated copy of the whole stream: the full-stream elementwise
+        # complex-multiply pass was the largest HBM tranche of the aligned
+        # decode (~0.43 ms of the 0.635 ms at the headline shape — see
+        # docs/BENCHMARKS.md "Roofline").  Only the 5 training chunks and
+        # the chunk-6 debug tap are derotated elementwise (tiny), and the
+        # remaining per-chunk phase rot_c fuses into the equalizer on the
+        # (small) bin tensor.  Mathematically identical to the stream path;
+        # agrees to f32 rounding, byte-identical at any workable SNR
+        # (tests/test_decode_options.py).
+        return _decode_aligned_derot_matrix(
+            aligned, chunks, f_delta, chunk6_pre, n_chunks=n_chunks,
+            guard_bands=guard_bands, modulation=modulation, cfg=cfg,
+            dft_precision=dft_precision)
 
     rot_c = phasor(f_delta[..., None] * c_idx)        # [..., n_chunks]
     rot_j = phasor(f_delta[..., None] * j_idx)        # [..., sym]
@@ -309,7 +398,7 @@ def decode(samples, guard_bands: bool = False,
 @partial(jax.jit, static_argnames=("n_blocks", "guard_bands", "modulation",
                                    "cfg", "sync_dtype", "search_window",
                                    "dft_precision", "cfo_estimator",
-                                   "align_impl", "demod_impl"))
+                                   "align_impl", "demod_impl", "derot_impl"))
 def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  guard_bands: bool = False,
                  modulation: Modulation = Modulation.BPSK,
@@ -318,7 +407,8 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                  search_window: int | None = None,
                  dft_precision=None, cfo_estimator: str = "coherent",
                  align_impl: str = "auto",
-                 demod_impl: str = "auto") -> jnp.ndarray:
+                 demod_impl: str = "auto",
+                 derot_impl: str = "auto") -> jnp.ndarray:
     """Fully-static batched decode: complex[..., T] -> uint8[..., n_bytes].
 
     ``n_blocks`` is the expected number of data OFDM symbols (known from the
@@ -389,8 +479,13 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     # the packed input twice); see tools/exp_demod_tail.py and
     # docs/BENCHMARKS.md.  "pallas" forces the kernel path.
     demod = "xla" if demod_impl == "auto" else demod_impl
+    # derot "auto" currently resolves to "stream" pending the TPU A/B
+    # measurement (tools/exp_derot.py); "matrix" folds the CFO derotation
+    # into a per-row DFT matrix (see decode_aligned).
+    derot = "stream" if derot_impl == "auto" else derot_impl
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
                             modulation=modulation, cfg=cfg,
                             dft_precision=dft_precision,
-                            cfo_estimator=cfo_estimator, demod_impl=demod)
+                            cfo_estimator=cfo_estimator, demod_impl=demod,
+                            derot_impl=derot)
     return out[0] if squeeze else out
