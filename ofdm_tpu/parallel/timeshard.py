@@ -67,7 +67,8 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
                           cfo_estimator: str = "coherent",
                           search_window: int | None = None,
                           fec: str | None = None,
-                          payload_len: int = 0, data_len: int = 0):
+                          payload_len: int = 0, data_len: int = 0,
+                          derot_impl: str = "auto"):
     """Build the shard_map'd decode: complex[B, T] (B over ``data``, T over
     ``time``; T_local a multiple of sym_len) -> uint8[B, n_bytes] replicated
     along ``time``.  Composable inside an enclosing jit (the pipeline step).
@@ -92,6 +93,9 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
         raise ValueError(f"timesharded fec supports None/'hamming', got {fec!r}")
     if fec == "hamming" and not (payload_len and data_len):
         raise ValueError("fec='hamming' needs payload_len and data_len")
+    if derot_impl == "auto":
+        from ..phy.rx import _DEROT_AUTO
+        derot_impl = _DEROT_AUTO
     sym = cfg.sym_len
     n_sync = cfg.n_sync_chunks
     n_chunks = n_sync + n_blocks
@@ -193,18 +197,40 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
         # --- local data symbols: derotate / DFT / equalize / demod ----------
         cf = cidx.astype(rd) * sym
         rot_c = phasor(f_delta[:, None] * cf)                       # [B, M]
-        data_chunks = win * (rot_c[:, :, None]
-                             * rot_j[:, None, :]).astype(win.dtype)
-        data_t = data_chunks[..., cfg.cp_len:]                      # [B, M, n_fft]
-        if guard_bands:
-            y = dft_matmul_select(data_t, sel, precision=hi)        # [B, M, 52]
-            eq = y / h_k[..., sel][..., None, :]
-            phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1, keepdims=True)
-            syms = eq[..., :nd] * jnp.exp(-1j * phi.astype(eq.real.dtype)
-                                          ).astype(eq.dtype)
+        if derot_impl == "matrix":
+            # fold the within-symbol phasor into a per-row DFT matrix and
+            # the per-chunk phase onto the (small) bin tensor — the local
+            # sample shard is read exactly once, by the DFT matmul (same
+            # restructuring as phy/rx.py decode_aligned derot_impl="matrix")
+            from ..ops.fft import dft_matmul_select_derot
+            data_t = win[..., cfg.cp_len:]                          # [B, M, n_fft]
+            sel_all = sel if guard_bands else tuple(range(cfg.n_fft))
+            y = dft_matmul_select_derot(data_t, sel_all, f_delta,
+                                        sample_offset=cfg.cp_len,
+                                        precision=hi)
+            y = y * rot_c[:, :, None].astype(y.dtype)
+            if guard_bands:
+                eq = y / h_k[..., sel][..., None, :]
+                phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1,
+                               keepdims=True)
+                syms = eq[..., :nd] * jnp.exp(
+                    -1j * phi.astype(eq.real.dtype)).astype(eq.dtype)
+            else:
+                syms = y / h_k[..., None, :]
         else:
-            y = fft(data_t)
-            syms = y / h_k[..., None, :]
+            data_chunks = win * (rot_c[:, :, None]
+                                 * rot_j[:, None, :]).astype(win.dtype)
+            data_t = data_chunks[..., cfg.cp_len:]                  # [B, M, n_fft]
+            if guard_bands:
+                y = dft_matmul_select(data_t, sel, precision=hi)    # [B, M, 52]
+                eq = y / h_k[..., sel][..., None, :]
+                phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1,
+                               keepdims=True)
+                syms = eq[..., :nd] * jnp.exp(
+                    -1j * phi.astype(eq.real.dtype)).astype(eq.dtype)
+            else:
+                y = fft(data_t)
+                syms = y / h_k[..., None, :]
         by = demodulate_symbols_packed(syms, modulation)            # [B, M, bpb]
 
         # --- scatter decoded bytes into block order (one-hot + psum) --------
@@ -311,12 +337,14 @@ def channel_timesharded_fn(mesh, *, snr: float | None = 30.0,
 def _jitted(mesh, n_blocks: int, guard_bands: bool, modulation: Modulation,
             cfg: FrameConfig, cfo_estimator: str,
             search_window: int | None = None, fec: str | None = None,
-            payload_len: int = 0, data_len: int = 0):
+            payload_len: int = 0, data_len: int = 0,
+            derot_impl: str = "auto"):
     fn = timesharded_decode_fn(mesh, n_blocks=n_blocks,
                                guard_bands=guard_bands, modulation=modulation,
                                cfg=cfg, cfo_estimator=cfo_estimator,
                                search_window=search_window, fec=fec,
-                               payload_len=payload_len, data_len=data_len)
+                               payload_len=payload_len, data_len=data_len,
+                               derot_impl=derot_impl)
     return jax.jit(fn)
 
 
@@ -328,7 +356,8 @@ def decode_frame_timesharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
                              search_window: int | None = None,
                              fec: str | None = None,
                              payload_len: int = 0,
-                             data_len: int = 0) -> jnp.ndarray:
+                             data_len: int = 0,
+                             derot_impl: str = "auto") -> jnp.ndarray:
     """Sequence-parallel batched decode: complex[B, T] -> uint8[B, n_bytes].
 
     Byte-identical to ``phy.rx.decode_frame`` but with the sample (time) axis
@@ -358,5 +387,5 @@ def decode_frame_timesharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
         samples, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS)))
     out = _jitted(mesh, n_blocks, guard_bands, modulation, cfg,
                   cfo_estimator, search_window, fec, payload_len,
-                  data_len)(sharded)
+                  data_len, derot_impl)(sharded)
     return out[0] if squeeze else out

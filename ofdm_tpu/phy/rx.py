@@ -90,6 +90,13 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
     return data.reshape(*data.shape[:-2], -1)
 
 
+# Production resolution of derot_impl="auto" (decode_frame, streaming).
+# "stream" = derotate the whole sample stream elementwise; "matrix" = fold
+# the within-symbol phasor into a per-row DFT matrix (tools/exp_derot.py
+# decides this; flip only with an interleaved TPU measurement).
+_DEROT_AUTO = "stream"
+
+
 def _decode_aligned_derot_matrix(aligned, chunks, f_delta, chunk6_pre, *,
                                  n_chunks: int, guard_bands: bool,
                                  modulation: Modulation, cfg: FrameConfig,
@@ -201,6 +208,8 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     def phasor(angles):
         return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
 
+    if derot_impl == "auto":
+        derot_impl = _DEROT_AUTO
     if derot_impl == "matrix" and demod_impl not in ("pallas", "interpret"):
         # Fold the within-symbol derotation phasor into a per-row DFT matrix
         # (ops/fft.py dft_matmul_select_derot) instead of materializing a
@@ -479,13 +488,9 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     # the packed input twice); see tools/exp_demod_tail.py and
     # docs/BENCHMARKS.md.  "pallas" forces the kernel path.
     demod = "xla" if demod_impl == "auto" else demod_impl
-    # derot "auto" currently resolves to "stream" pending the TPU A/B
-    # measurement (tools/exp_derot.py); "matrix" folds the CFO derotation
-    # into a per-row DFT matrix (see decode_aligned).
-    derot = "stream" if derot_impl == "auto" else derot_impl
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
                             modulation=modulation, cfg=cfg,
                             dft_precision=dft_precision,
                             cfo_estimator=cfo_estimator, demod_impl=demod,
-                            derot_impl=derot)
+                            derot_impl=derot_impl)
     return out[0] if squeeze else out

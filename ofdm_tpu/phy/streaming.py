@@ -134,7 +134,8 @@ def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
         s, first, n_frames * spacing).reshape(n_frames, spacing)[:, :flen]
     out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
                             guard_bands=guard_bands, modulation=modulation,
-                            cfg=cfg, cfo_estimator="coherent")
+                            cfg=cfg, cfo_estimator="coherent",
+                            derot_impl="auto")
     return _fused_defec(out, payload_len, n_bytes, fec)
 
 
@@ -252,7 +253,8 @@ def _decode_at_positions(s, pos, *, n_rows: int, nb: int, flen: int,
         lambda p: jax.lax.dynamic_slice_in_dim(s, p, flen))(pos)
     out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
                             guard_bands=guard_bands, modulation=modulation,
-                            cfg=cfg, cfo_estimator="coherent")
+                            cfg=cfg, cfo_estimator="coherent",
+                            derot_impl="auto")
     return out
 
 

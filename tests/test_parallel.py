@@ -315,3 +315,22 @@ def test_data_sharded_streaming_no_collectives():
             inv[k] == 0 for k in ("all-gather", "all-to-all",
                                   "reduce-scatter", "collective-permute",
                                   "all-reduce")), f"{name}: {inv}"
+
+
+def test_timesharded_derot_matrix_no_allgather(rng):
+    """The matrix-folded derotation (per-shard DFT matrix) must not change
+    the time-sharded decoder's collective inventory: the matrix build and
+    batched matmul are shard-local, so still zero all-gather/all-to-all."""
+    from ofdm_tpu.parallel.timeshard import timesharded_decode_fn
+    mesh = make_mesh(n_data=2, n_time=4)
+    fn = jax.jit(timesharded_decode_fn(
+        mesh, n_blocks=12, guard_bands=True, modulation=ot.Modulation.QPSK,
+        derot_impl="matrix"))
+    stream = jax.device_put(
+        jnp.zeros((8, 4 * 16 * 80), jnp.complex64),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            "data", "time")))
+    txt = fn.lower(stream).compile().as_text()
+    inv = _collective_inventory(txt)
+    assert inv["all-gather"] == 0, f"matrix derot added all-gather: {inv}"
+    assert inv["all-to-all"] == 0, f"matrix derot added all-to-all: {inv}"

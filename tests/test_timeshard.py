@@ -67,6 +67,27 @@ def test_timesharded_matches_decode_frame_boundary_offsets(rng):
             ts[:, 16:16 + payload_len], np.tile(data, (len(group), 1)))
 
 
+def test_timesharded_derot_matrix_parity(rng):
+    """derot_impl="matrix" on the time-sharded path (CFO folded into the
+    per-shard DFT matrix) must stay byte-identical to decode_frame across
+    shard-straddling offsets, including a real channel CFO draw."""
+    mesh = make_mesh(n_data=1, n_time=8)
+    payload_len = 90
+    data, tx = _frame(rng, payload_len, ot.Modulation.QAM16, True,
+                      snr=35.0, key=11)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QAM16, True)
+    T = 5760
+    stream = _stream_with_frames(rng, tx, [0, 639, 641, 1281], T)
+    ts = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=True,
+        modulation=ot.Modulation.QAM16, derot_impl="matrix"))
+    ref = np.asarray(ot.decode_frame(stream, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QAM16))
+    np.testing.assert_array_equal(ts, ref)
+    np.testing.assert_array_equal(ts[:, 16:16 + payload_len],
+                                  np.tile(data, (4, 1)))
+
+
 @pytest.mark.parametrize("n_data,n_time", [(2, 4), (4, 2)])
 def test_timesharded_mixed_mesh_with_channel(rng, n_data, n_time):
     """Multipath + CFO + noise through the simulated channel, mixed meshes."""
