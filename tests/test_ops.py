@@ -29,6 +29,23 @@ class TestFFT:
             np.asarray(dft_matmul(jnp.asarray(x), inverse=True)),
             np.fft.ifft(x, axis=-1), rtol=0, atol=1e-9)
 
+    def test_dft_matmul_select_derot_oracle(self, rng):
+        # y[..., c, k] must equal the DFT of the elementwise-derotated
+        # symbol at the selected bins: phasor exp(-i w (offset + p)) folded
+        # into a per-row matrix (the decode_aligned matrix-derot primitive).
+        from ofdm_tpu.ops.fft import dft_matmul_select_derot
+        B, C, n = 3, 4, 64
+        x = (rng.standard_normal((B, C, n))
+             + 1j * rng.standard_normal((B, C, n)))
+        w = rng.uniform(0.0, 0.04, B)
+        bins = (1, 5, 17, 40, 63)
+        off = 16
+        phi = np.exp(-1j * w[:, None] * (off + np.arange(n)))
+        expect = np.fft.fft(x * phi[:, None, :], axis=-1)[..., list(bins)]
+        got = np.asarray(dft_matmul_select_derot(
+            jnp.asarray(x), bins, jnp.asarray(w), sample_offset=off))
+        np.testing.assert_allclose(got, expect, rtol=0, atol=1e-9)
+
     def test_ifft_is_1_over_n_normalized(self):
         # Reference ifft scales by 1/N (src/signals/mod.rs:49-58).
         x = jnp.asarray(np.ones(64, dtype=np.complex128))
