@@ -230,6 +230,41 @@ def idft_matmul_rows(x: jnp.ndarray, bins: tuple, n: int,
     return jax.lax.complex(out[..., :n], out[..., n:])
 
 
+@lru_cache(maxsize=None)
+def _packed_idft_rows_cp_matrix(n: int, bins: tuple, cp_len: int,
+                                dtype_name: str) -> np.ndarray:
+    w = _packed_idft_rows_matrix(n, bins, dtype_name)      # [2k, 2n]
+    re, im = w[:, :n], w[:, n:]
+    re_cp = np.concatenate([re[:, n - cp_len:], re], axis=1)
+    im_cp = np.concatenate([im[:, n - cp_len:], im], axis=1)
+    return np.ascontiguousarray(np.concatenate([re_cp, im_cp], axis=1))
+
+
+def idft_matmul_rows_cp(x: jnp.ndarray, bins: tuple, n: int, cp_len: int,
+                        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """``idft_matmul_rows`` with the cyclic prefix folded into the matrix.
+
+    complex[..., k] bins -> complex[..., cp_len + n] time samples where the
+    first cp_len samples repeat the block tail.  The CP columns are exact
+    copies of the corresponding time-sample columns, so every output element
+    is the SAME dot product as the concat formulation — bitwise identical —
+    but the [..., cp] gather + concat pass over the full sample stream
+    disappears (the matmul writes prefixed blocks directly).  ~cp/n more
+    MACs, which is noise next to the saved HBM pass on TPU.
+    """
+    k = len(bins)
+    assert x.shape[-1] == k
+    real_dtype = jnp.finfo(x.dtype).dtype.name if jnp.iscomplexobj(x) \
+        else x.dtype.name
+    w = jnp.asarray(_packed_idft_rows_cp_matrix(n, tuple(bins), cp_len,
+                                                real_dtype))
+    packed = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
+    out = jnp.matmul(packed, w, precision=precision,
+                     preferred_element_type=packed.dtype)
+    m = n + cp_len
+    return jax.lax.complex(out[..., :m], out[..., m:])
+
+
 def fft(x: jnp.ndarray, use_matmul: bool | None = None) -> jnp.ndarray:
     """Forward FFT on the last axis, unnormalized (reference/rustfft semantics)."""
     if _should_use_matmul(x, use_matmul):

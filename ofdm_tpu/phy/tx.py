@@ -96,6 +96,13 @@ def _pilot_time(cfg: FrameConfig) -> np.ndarray:
     return np.fft.ifft(spec)
 
 
+@lru_cache(maxsize=None)
+def _pilot_time_cp(cfg: FrameConfig) -> np.ndarray:
+    """Pilot waveform with its cyclic prefix prepended (sym_len samples)."""
+    p = _pilot_time(cfg)
+    return np.concatenate([p[-cfg.cp_len:], p])
+
+
 def _group_symbols(syms: jnp.ndarray, carriers: int) -> jnp.ndarray:
     """complex[..., n_syms] -> complex[..., nb, carriers], zero-padded tail
     (the reference's ``unwrap_or(0)``, src/transmitter.rs:149)."""
@@ -131,12 +138,16 @@ def encode_payload(payload: jnp.ndarray, *, guard_bands: bool = False,
     from .modulation import modulate_bytes_packed
     syms = modulate_bytes_packed(payload, modulation, dtype=dtype)
     if pack_spectrum and guard_bands:
-        from ..ops.fft import idft_matmul_rows
+        # CP folded into the IFFT matrix (bitwise-identical columns): the
+        # matmul writes prefixed 80-sample blocks directly — no [..., cp]
+        # gather + concat pass over the full stream (ops/fft.py
+        # idft_matmul_rows_cp)
+        from ..ops.fft import idft_matmul_rows_cp
         grouped = _group_symbols(syms, cfg.carriers_per_block(True))
-        t = idft_matmul_rows(grouped, tuple(cfg.data_indices), cfg.n_fft)
-        t = t + jnp.asarray(_pilot_time(cfg), dtype=dtype)
-        prefixed = jnp.concatenate([t[..., -cfg.cp_len:], t], axis=-1)
-        data_samples = prefixed.reshape(*prefixed.shape[:-2], -1)
+        t = idft_matmul_rows_cp(grouped, tuple(cfg.data_indices), cfg.n_fft,
+                                cfg.cp_len)
+        t = t + jnp.asarray(_pilot_time_cp(cfg), dtype=dtype)
+        data_samples = t.reshape(*t.shape[:-2], -1)
     else:
         blocks = symbols_to_blocks(syms, guard_bands, cfg)
         data_samples = blocks_to_samples(blocks, cfg)

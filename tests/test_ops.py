@@ -46,6 +46,24 @@ class TestFFT:
             jnp.asarray(x), bins, jnp.asarray(w), sample_offset=off))
         np.testing.assert_allclose(got, expect, rtol=0, atol=1e-9)
 
+    def test_idft_rows_cp_fold(self, rng):
+        # CP folded into the IFFT matrix: values match the gather+concat
+        # formulation to f32 rounding, and the structural invariant the
+        # receiver relies on — prefix == block tail — holds EXACTLY
+        # (duplicated matrix columns give identical dot products).
+        from ofdm_tpu.config import DEFAULT_CONFIG as cfg
+        from ofdm_tpu.ops.fft import idft_matmul_rows, idft_matmul_rows_cp
+        x = (rng.standard_normal((5, 9, 48))
+             + 1j * rng.standard_normal((5, 9, 48))).astype(np.complex64)
+        bins = tuple(cfg.data_indices)
+        t = idft_matmul_rows(jnp.asarray(x), bins, cfg.n_fft)
+        old = np.asarray(jnp.concatenate([t[..., -cfg.cp_len:], t], axis=-1))
+        new = np.asarray(idft_matmul_rows_cp(jnp.asarray(x), bins,
+                                             cfg.n_fft, cfg.cp_len))
+        np.testing.assert_allclose(new, old, rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(new[..., :cfg.cp_len],
+                                      new[..., cfg.n_fft:])
+
     def test_ifft_is_1_over_n_normalized(self):
         # Reference ifft scales by 1/N (src/signals/mod.rs:49-58).
         x = jnp.asarray(np.ones(64, dtype=np.complex128))
