@@ -151,9 +151,20 @@ def encode_payload(payload: jnp.ndarray, *, guard_bands: bool = False,
     else:
         blocks = symbols_to_blocks(syms, guard_bands, cfg)
         data_samples = blocks_to_samples(blocks, cfg)
-    prefix = jnp.asarray(_sync_prefix(cfg), dtype=dtype)
-    prefix = jnp.broadcast_to(prefix, (*data_samples.shape[:-1], prefix.shape[0]))
-    return peak_normalize(jnp.concatenate([prefix, data_samples], axis=-1))
+    # Peak-normalize without materializing the unscaled frame: the sync
+    # prefix is a compile-time constant, so its peak is too — the max
+    # reduction runs over the data samples only and the divide fuses into
+    # the prefix/data concat write (one less full-stream pass; max() is
+    # exact so the scale factor, and hence every output element, is
+    # BITWISE identical to peak_normalize(concat(...))).
+    prefix_np = _sync_prefix(cfg).astype(jnp.dtype(dtype).name)
+    pm = max(float(prefix_np.real.max()), float(prefix_np.imag.max()))
+    m = jnp.maximum(jnp.max(jnp.real(data_samples), axis=-1),
+                    jnp.max(jnp.imag(data_samples), axis=-1))
+    m = jnp.maximum(m, jnp.asarray(pm, dtype=m.dtype))[..., None]
+    prefix = jnp.broadcast_to(jnp.asarray(prefix_np),
+                              (*data_samples.shape[:-1], prefix_np.shape[0]))
+    return jnp.concatenate([prefix / m, data_samples / m], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("guard_bands", "modulation", "cfg", "dtype"))
