@@ -88,9 +88,11 @@ def main():
         return carry + 1.0 + jnp.max(jnp.real(tx)).astype(jnp.float32) * 1e-9
 
     # value equality gate (f32-rounding tolerance; the scale factor and CP
-    # structure are exact)
-    fa = np.asarray(jax.jit(lambda p: tx_round2(p, mod))(payloads[0][:8]))
-    fb = np.asarray(jax.jit(lambda p: encode_payload(
+    # structure are exact).  complex64 d2h is UNIMPLEMENTED on this backend:
+    # go through the split-plane transfer shim.
+    from ofdm_tpu.core.transfer import to_host
+    fa = to_host(jax.jit(lambda p: tx_round2(p, mod))(payloads[0][:8]))
+    fb = to_host(jax.jit(lambda p: encode_payload(
         p, guard_bands=True, modulation=mod))(payloads[0][:8]))
     err = np.abs(fa - fb).max()
     log(f"A-vs-B max |diff| = {err:.2e}")
