@@ -45,7 +45,9 @@ from ofdm_tpu.phy.rx import decode_aligned
 
 BATCH = 256
 PAYLOAD = 8192
-ROUNDS = 24
+# degraded-phase runs need many more rounds to average the noisy dispatch
+# overhead out (docs/BENCHMARKS.md "Degraded-phase characterization")
+ROUNDS = int(os.environ.get("DEROT_ROUNDS", 24))
 
 
 def log(*a):
