@@ -128,6 +128,20 @@ def main():
     _ = np.asarray(out)
     log("compiled; starting timed run")
 
+    # chip-phase context: chained trivial-dispatch cost (NORMAL ~0.0x ms;
+    # the DEGRADED phase adds noisy multi-ms overhead — docs/BENCHMARKS.md)
+    @jax.jit
+    def _trivial(c):
+        return c * 1.0000001 + 1.0
+    tc = jnp.float32(0.0)
+    tc = _trivial(tc); float(tc)
+    t0 = time.perf_counter()
+    for _ in range(16):
+        tc = _trivial(tc)
+    float(tc)
+    dispatch_overhead_ms = (time.perf_counter() - t0) / 16 * 1e3
+    log(f"chained trivial dispatch: {dispatch_overhead_ms:.3f} ms/step")
+
     lat, frame_count = [], 0
     clean_ok = clean_n = cfo_ok = cfo_n = 0
     pending = collections.deque()
@@ -178,6 +192,7 @@ def main():
         "ms_per_buffer": wall / n_buffers * 1e3,
         "in_flight": IN_FLIGHT,
         "samples_per_buffer": int(n_samples),
+        "dispatch_overhead_ms": dispatch_overhead_ms,
     }
     print("\nRESULTS " + json.dumps(res))
     log("DONE")
