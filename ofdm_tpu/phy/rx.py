@@ -92,9 +92,15 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
 
 # Production resolution of derot_impl="auto" (decode_frame, streaming).
 # "stream" = derotate the whole sample stream elementwise; "matrix" = fold
-# the within-symbol phasor into a per-row DFT matrix (tools/exp_derot.py
-# decides this; flip only with an interleaved TPU measurement).
-_DEROT_AUTO = "stream"
+# the within-symbol phasor into a per-row DFT matrix.  "matrix" is the
+# production default on STRUCTURAL evidence (tools/../tmp hlo comparison,
+# docs/BENCHMARKS.md round 3b): the compiled TPU module drops the two
+# full-stream derotate copy buffers (126.0 -> 88.8 MB of big-buffer writes
+# per headline step, everything else identical), is byte-identical
+# (tests/test_decode_options.py), and measures 1.5x on CPU; degraded-phase
+# TPU timing was noise-bound in both directions (+-0.3 ms), which cannot
+# outweigh a 37 MB/step traffic reduction on an HBM-bound chain.
+_DEROT_AUTO = "matrix"
 
 
 def _decode_aligned_derot_matrix(aligned, chunks, f_delta, chunk6_pre, *,
