@@ -56,6 +56,12 @@ N_DISTINCT = int(os.environ.get("SERVE_DISTINCT", 8))
 ROUNDS = int(os.environ.get("SERVE_ROUNDS", 6))       # buffers = 8 x 6 = 48
 IN_FLIGHT = int(os.environ.get("SERVE_IN_FLIGHT", 4))
 N_FRAMES = int(os.environ.get("SERVE_FRAMES", 780))   # ~2M samples/buffer
+# SERVE_RESIDENT=1: keep the distinct buffers device-resident (uploaded
+# once) and serve from them — isolates the device pipeline + host tail from
+# the tunnel's h2d bandwidth, which on the axon relay (~20 MiB/s) is 2-3
+# orders of magnitude below a PCIe/direct attach and otherwise dominates
+# the composition.  The carry chain still makes every dispatch unique.
+RESIDENT = bool(os.environ.get("SERVE_RESIDENT"))
 
 
 def log(*a):
@@ -142,6 +148,18 @@ def main():
     dispatch_overhead_ms = (time.perf_counter() - t0) / 16 * 1e3
     log(f"chained trivial dispatch: {dispatch_overhead_ms:.3f} ms/step")
 
+    # h2d transfer bandwidth of this runtime (the jetson scenario's capture
+    # upload; ~GB/s on PCIe-attached chips, ~20 MiB/s through this tunnel)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(to_device(host_bufs[0]))
+    h2d_mibps = host_bufs[0].nbytes * 3 / (time.perf_counter() - t0) / 2**20
+    log(f"h2d bandwidth: {h2d_mibps:.1f} MiB/s")
+
+    if RESIDENT:
+        dev_bufs = [jax.block_until_ready(to_device(b)) for b in host_bufs]
+        log("buffers device-resident")
+
     lat, frame_count = [], 0
     clean_ok = clean_n = cfo_ok = cfo_n = 0
     pending = collections.deque()
@@ -161,14 +179,23 @@ def main():
             cfo_ok += ok
             cfo_n += 1
 
-    with SampleFeed(source()) as feed:
-        for i, buf in enumerate(double_buffered(feed, to_device)):
+    if RESIDENT:
+        for i in range(ROUNDS * N_DISTINCT):
             t_d = time.perf_counter()
-            out, carry = serve(buf, carry)
+            out, carry = serve(dev_bufs[i % N_DISTINCT], carry)
             pending.append((t_d, i % N_DISTINCT, out))
             n_buffers += 1
             while len(pending) > IN_FLIGHT:
                 drain_one()
+    else:
+        with SampleFeed(source()) as feed:
+            for i, buf in enumerate(double_buffered(feed, to_device)):
+                t_d = time.perf_counter()
+                out, carry = serve(buf, carry)
+                pending.append((t_d, i % N_DISTINCT, out))
+                n_buffers += 1
+                while len(pending) > IN_FLIGHT:
+                    drain_one()
     while pending:
         drain_one()
     wall = time.perf_counter() - t_start
@@ -193,6 +220,8 @@ def main():
         "in_flight": IN_FLIGHT,
         "samples_per_buffer": int(n_samples),
         "dispatch_overhead_ms": dispatch_overhead_ms,
+        "h2d_mibps": h2d_mibps,
+        "resident": RESIDENT,
     }
     print("\nRESULTS " + json.dumps(res))
     log("DONE")
