@@ -61,7 +61,7 @@ def main(argv=None):
                                       modulation=ot.Modulation.QPSK,
                                       return_diagnostics=True)
                 ok = True
-            except ot.DecodeError as e:
+            except ot.DecodeError:
                 ok = False
             dt = time.perf_counter() - t0
 

@@ -197,6 +197,11 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     precomputed reciprocal channel (y * (1/h) instead of y / h) and uses a
     polynomial atan2 for the pilot phase (~2e-4 rad) — sub-ulp-of-a-decision
     deviations at any workable SNR; byte equality is gated by tests.
+
+    ``derot_impl`` selects the CFO-derotation lowering ("stream" / "matrix" /
+    "auto"; see _DEROT_AUTO).  "matrix" is only implemented for the XLA demod
+    tail — requesting it together with demod_impl="pallas"/"interpret" raises
+    ValueError (auto resolves to "stream" there).
     """
     sym = cfg.sym_len
     chunks = aligned[..., : n_chunks * sym].reshape(*aligned.shape[:-1], n_chunks, sym)
@@ -215,8 +220,17 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
         return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
 
     if derot_impl == "auto":
-        derot_impl = _DEROT_AUTO
-    if derot_impl == "matrix" and demod_impl not in ("pallas", "interpret"):
+        # the pallas demod tail has no matrix-derot lowering (its DFT feed is
+        # the planar select matmul without the per-row derot fold); auto
+        # resolves to the stream derotation there
+        derot_impl = "stream" if demod_impl in ("pallas", "interpret") \
+            else _DEROT_AUTO
+    if derot_impl == "matrix":
+        if demod_impl in ("pallas", "interpret"):
+            raise ValueError(
+                "derot_impl='matrix' is not implemented for the pallas/"
+                "interpret demod tail — use demod_impl='xla' or "
+                "derot_impl='stream'/'auto'")
         # Fold the within-symbol derotation phasor into a per-row DFT matrix
         # (ops/fft.py dft_matmul_select_derot) instead of materializing a
         # derotated copy of the whole stream: the full-stream elementwise

@@ -37,10 +37,12 @@ def test_two_process_pipeline_parity(tmp_path):
         subprocess.Popen(
             [sys.executable, WORKER, "--rank", str(r), "--nprocs", "2",
              "--port", str(port), "--out", str(outs[r])],
-            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         for r in range(2)]
-    for p in procs:
-        assert p.wait(timeout=300) == 0 or True  # report carries the verdict
+    rcs = [p.wait(timeout=300) for p in procs]
+    for r, (p, rc) in enumerate(zip(procs, rcs)):
+        stderr = p.stderr.read().decode(errors="replace")
+        assert rc == 0, f"rank {r} exited {rc}; stderr:\n{stderr}"
 
     reports = [json.loads(o.read_text()) for o in outs]
     for rep in reports:

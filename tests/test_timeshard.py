@@ -88,6 +88,27 @@ def test_timesharded_derot_matrix_parity(rng):
                                   np.tile(data, (4, 1)))
 
 
+def test_timesharded_derot_matrix_parity_no_guard_bands(rng):
+    """The guard_bands=False arm of the timeshard matrix-derot branch
+    (sel_all spans all n_fft bins, replacing the stream branch's fft()) —
+    ADVICE r3: this arm previously had no parity coverage."""
+    mesh = make_mesh(n_data=1, n_time=8)
+    payload_len = 90
+    data, tx = _frame(rng, payload_len, ot.Modulation.QPSK, False,
+                      snr=35.0, key=13)
+    nb = ot.n_data_blocks(payload_len, ot.Modulation.QPSK, False)
+    T = 5760
+    stream = _stream_with_frames(rng, tx, [0, 639, 641, 1281], T)
+    ts = np.asarray(decode_frame_timesharded(
+        stream, mesh, n_blocks=nb, guard_bands=False,
+        modulation=ot.Modulation.QPSK, derot_impl="matrix"))
+    ref = np.asarray(ot.decode_frame(stream, n_blocks=nb, guard_bands=False,
+                                     modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(ts, ref)
+    np.testing.assert_array_equal(ts[:, 16:16 + payload_len],
+                                  np.tile(data, (4, 1)))
+
+
 @pytest.mark.parametrize("n_data,n_time", [(2, 4), (4, 2)])
 def test_timesharded_mixed_mesh_with_channel(rng, n_data, n_time):
     """Multipath + CFO + noise through the simulated channel, mixed meshes."""

@@ -47,7 +47,8 @@ def main():
     def step(s, carry):
         aligned = sync_align(s, tpl, frame)
         out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=True,
-                                modulation=mod, cfo_estimator="coherent")
+                                modulation=mod, cfo_estimator="coherent",
+                                derot_impl="auto")
         return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
 
     carry = jnp.float32(0.0)
