@@ -125,7 +125,8 @@ def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
 
 def sync_align(flat: jnp.ndarray, template, need: int,
                interpret: bool = False,
-               search_window: int | None = None) -> jnp.ndarray:
+               search_window: int | None = None,
+               planar: bool = False) -> jnp.ndarray:
     """Fused sync+align: complex[R, T] -> complex[R, need] starting at each
     row's frame-sync offset (reference argmax semantics, clipped to
     [0, T - need]).  Byte-equivalent to sync_offset + _planar_align; the
@@ -141,6 +142,14 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     Measured 1.13 vs 1.30 ms for the full decode chain at the headline
     shape (tools/exp_sync_align.py); identical bad-row sets and identical
     good-row bytes on all test batches.
+
+    ``planar=True`` returns the kernel's native f32[R, 2, need] real/imag
+    planes instead of complex64 — the values the complex view would hold,
+    without materializing it.  The planar matrix-derot decode tail
+    (phy/rx.py decode_planar_matrix) consumes this directly, so the aligned
+    stream is never written as a complex64 intermediate (round-3 VERDICT:
+    the complex round-trip was one full extra write + re-read of the
+    39 MB aligned stream per headline step).
     """
     import numpy as np
 
@@ -186,4 +195,6 @@ def sync_align(flat: jnp.ndarray, template, need: int,
         interpret=interpret,
     )(f, w)
     a = out.reshape(r, 2, n_out_tiles * 128)[:, :, :need]
+    if planar:
+        return a
     return jax.lax.complex(a[:, 0], a[:, 1])

@@ -183,7 +183,24 @@ def dft_matmul_select_derot(x: jnp.ndarray, bins: tuple, omega: jnp.ndarray,
     k = len(bins)
     real_dtype = jnp.finfo(x.dtype).dtype.name if jnp.iscomplexobj(x) \
         else x.dtype.name
-    wr, wi = _dft_select_planes(n, tuple(bins), real_dtype)
+    top, bot = _derot_select_matrix(n, tuple(bins), omega, sample_offset,
+                                    real_dtype)
+    wp = jnp.concatenate([top, bot], axis=-2)              # [..., 2n, 2k]
+    packed = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
+    out = jnp.matmul(packed, wp, precision=precision,
+                     preferred_element_type=packed.dtype)
+    return jax.lax.complex(out[..., :k], out[..., k:])
+
+
+def _derot_select_matrix(n: int, bins: tuple, omega: jnp.ndarray,
+                         sample_offset: int, dtype):
+    """Per-row derotated DFT matrix halves for the planar/packed products.
+
+    Returns (wp_top[..., n, 2k], wp_bot[..., n, 2k]) such that the packed
+    product is  concat(xr, xi) @ concat(top, bot, axis=-2)  and the planar
+    product is  xr @ top + xi @ bot  — same matrix, split at row n.
+    """
+    wr, wi = _dft_select_planes(n, tuple(bins), dtype)
     wr = jnp.asarray(wr)
     wi = jnp.asarray(wi)
     p_idx = jnp.arange(n, dtype=wr.dtype) + wr.dtype.type(sample_offset)
@@ -192,12 +209,36 @@ def dft_matmul_select_derot(x: jnp.ndarray, bins: tuple, omega: jnp.ndarray,
     ci = -jnp.sin(ang)[..., :, None]
     vr = cr * wr - ci * wi                                 # [..., n, k]
     vi = cr * wi + ci * wr
-    wp = jnp.concatenate(
-        [jnp.concatenate([vr, vi], axis=-1),
-         jnp.concatenate([-vi, vr], axis=-1)], axis=-2)    # [..., 2n, 2k]
-    packed = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
-    out = jnp.matmul(packed, wp, precision=precision,
-                     preferred_element_type=packed.dtype)
+    top = jnp.concatenate([vr, vi], axis=-1)               # [..., n, 2k]
+    bot = jnp.concatenate([-vi, vr], axis=-1)
+    return top, bot
+
+
+def dft_matmul_select_derot_planar(xr: jnp.ndarray, xi: jnp.ndarray,
+                                   bins: tuple, omega: jnp.ndarray,
+                                   sample_offset: int = 0,
+                                   precision=jax.lax.Precision.HIGHEST
+                                   ) -> jnp.ndarray:
+    """``dft_matmul_select_derot`` fed by separate real/imag planes.
+
+    xr, xi: f32[..., C, n] — e.g. the planes the fused Pallas sync+align
+    kernel already holds (kernels/align_pallas.py ``planar=True``), so no
+    complex64 aligned stream is ever materialized between alignment and the
+    DFT.  The packed [.., 2n] x [2n, 2k] product becomes
+    ``xr @ top + xi @ bot`` — two K=n matmuls summed instead of one K=2n
+    matmul: identical math and total MACs, but the K-reduction splits at n,
+    so results agree with the packed form to f32 rounding rather than
+    bitwise (same acceptance standard as the matrix-derot fold itself;
+    byte equality at operating SNRs is gated by tests/test_decode_options.py).
+    """
+    n = xr.shape[-1]
+    k = len(bins)
+    top, bot = _derot_select_matrix(n, tuple(bins), omega, sample_offset,
+                                    xr.dtype.name)
+    out = (jnp.matmul(xr, top, precision=precision,
+                      preferred_element_type=xr.dtype)
+           + jnp.matmul(xi, bot, precision=precision,
+                        preferred_element_type=xi.dtype))
     return jax.lax.complex(out[..., :k], out[..., k:])
 
 

@@ -200,14 +200,18 @@ def timesharded_decode_fn(mesh, *, n_blocks: int, guard_bands: bool,
         if derot_impl == "matrix":
             # fold the within-symbol phasor into a per-row DFT matrix and
             # the per-chunk phase onto the (small) bin tensor — the local
-            # sample shard is read exactly once, by the DFT matmul (same
-            # restructuring as phy/rx.py decode_aligned derot_impl="matrix")
-            from ..ops.fft import dft_matmul_select_derot
+            # sample shard is read exactly once, by the DFT matmuls (same
+            # restructuring as phy/rx.py decode_aligned derot_impl="matrix").
+            # The PLANAR form keeps the K-reduction split identical to the
+            # single-device _derot_matrix_core, so exactly-boundary symbols
+            # (e.g. zero-padded tail bins) round the same way and the
+            # byte-identity invariant holds bit-for-bit.
+            from ..ops.fft import dft_matmul_select_derot_planar
             data_t = win[..., cfg.cp_len:]                          # [B, M, n_fft]
             sel_all = sel if guard_bands else tuple(range(cfg.n_fft))
-            y = dft_matmul_select_derot(data_t, sel_all, f_delta,
-                                        sample_offset=cfg.cp_len,
-                                        precision=hi)
+            y = dft_matmul_select_derot_planar(
+                jnp.real(data_t), jnp.imag(data_t), sel_all, f_delta,
+                sample_offset=cfg.cp_len, precision=hi)
             y = y * rot_c[:, :, None].astype(y.dtype)
             if guard_bands:
                 eq = y / h_k[..., sel][..., None, :]

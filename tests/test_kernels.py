@@ -110,6 +110,25 @@ def test_fused_sync_align_matches_xla():
     np.testing.assert_array_equal(got2, ref2)
 
 
+def test_sync_align_planar_matches_complex():
+    """planar=True must return exactly the planes of the complex output."""
+    from ofdm_tpu.config import DEFAULT_CONFIG
+    from ofdm_tpu.kernels.align_pallas import sync_align
+
+    tpl = np.asarray(constants.locking_for(DEFAULT_CONFIG)).astype(np.complex64)
+    t, need = 2560, 2400
+    rng = np.random.default_rng(11)
+    s = 0.01 * (rng.standard_normal((4, t)) + 1j * rng.standard_normal((4, t)))
+    for i, d in enumerate([0, 127, 128, 150]):
+        s[i, d:d + 80] += tpl
+    s = jnp.asarray(s.astype(np.complex64))
+    c = np.asarray(sync_align(s, tpl, need, interpret=True))
+    p = np.asarray(sync_align(s, tpl, need, interpret=True, planar=True))
+    assert p.shape == (4, 2, need) and p.dtype == np.float32
+    np.testing.assert_array_equal(p[:, 0], c.real)
+    np.testing.assert_array_equal(p[:, 1], c.imag)
+
+
 def test_demodulate_symbols_packed_parity():
     """Packed SoA demod == bits_to_bytes(demodulate_symbols(...)) for every
     scheme, including QPSK's im==0 fallthrough edges and non-group-aligned

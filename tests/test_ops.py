@@ -46,6 +46,27 @@ class TestFFT:
             jnp.asarray(x), bins, jnp.asarray(w), sample_offset=off))
         np.testing.assert_allclose(got, expect, rtol=0, atol=1e-9)
 
+    def test_dft_matmul_select_derot_planar_oracle(self, rng):
+        # the planar-fed form (xr @ top + xi @ bot) must compute the same
+        # derotated selected-bin DFT as the packed form, from planes
+        from ofdm_tpu.ops.fft import (dft_matmul_select_derot,
+                                      dft_matmul_select_derot_planar)
+        B, C, n = 3, 4, 64
+        x = (rng.standard_normal((B, C, n))
+             + 1j * rng.standard_normal((B, C, n)))
+        w = rng.uniform(0.0, 0.04, B)
+        bins = (1, 5, 17, 40, 63)
+        off = 16
+        phi = np.exp(-1j * w[:, None] * (off + np.arange(n)))
+        expect = np.fft.fft(x * phi[:, None, :], axis=-1)[..., list(bins)]
+        got = np.asarray(dft_matmul_select_derot_planar(
+            jnp.asarray(x.real), jnp.asarray(x.imag), bins, jnp.asarray(w),
+            sample_offset=off))
+        np.testing.assert_allclose(got, expect, rtol=0, atol=1e-9)
+        packed = np.asarray(dft_matmul_select_derot(
+            jnp.asarray(x), bins, jnp.asarray(w), sample_offset=off))
+        np.testing.assert_allclose(got, packed, rtol=0, atol=1e-9)
+
     def test_idft_rows_cp_fold(self, rng):
         # CP folded into the IFFT matrix: values match the gather+concat
         # formulation to f32 rounding, and the structural invariant the
