@@ -102,17 +102,6 @@ def main():
     except Exception as e:
         log("fft sync FAILED:", repr(e)[:300])
 
-    # ---- 4. pallas sync kernel
-    try:
-        from ofdm_tpu.kernels.sync_pallas import sync_offset_pallas
-        lock = np.asarray(constants.locking_signal(80))
-        pal = jax.jit(lambda s: sync_offset_pallas(s, lock))
-        dt_p, offs = timeit(pal, rxb)
-        match = np.array_equal(np.asarray(offs), ref_offs)
-        log(f"pallas sync: {dt_p*1e3:.2f} ms, matches XLA: {match}")
-    except Exception as e:
-        log("pallas sync FAILED:", repr(e)[:300])
-
     # ---- 5. aligned-decode stage split
     from ofdm_tpu.ops.fft import dft_matmul
     blocks = jax.block_until_ready(
