@@ -1,0 +1,132 @@
+"""Fused full-chain Pallas kernel (kernels/chain_pallas.py) parity tests.
+
+Interpret mode on CPU; the compiled path is exercised on TPU by bench.py and
+tools/exp_chain.py.  The invariant: payload bytes EXACT vs the transmitted
+data, and full output equal to decode_frame except where symbols sit exactly
+on decision boundaries (pad symbols of the last block can round differently
+— the kernel's f32 reduction orders differ from XLA's)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ofdm_tpu as ot
+from ofdm_tpu import constants
+from ofdm_tpu.config import DEFAULT_CONFIG as cfg
+from ofdm_tpu.kernels.chain_pallas import decode_chain
+
+TPL = np.asarray(constants.locking_for(cfg)).astype(np.complex64)
+
+
+def _frame_batch(rng, n_rows, payload_len, mod, gb, snr, key, timing=True):
+    data = rng.integers(0, 256, (n_rows, payload_len), dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=gb, modulation=mod, dtype=jnp.complex64)
+    rx = ot.channel(tx, snr=snr, timing_error=timing,
+                    key=jax.random.key(key)).astype(jnp.complex64)
+    nb = ot.n_data_blocks(payload_len, mod, gb)
+    need = (cfg.n_sync_chunks + nb) * cfg.sym_len
+    rx = jnp.pad(rx, ((0, 0), (0, max(0, need + 40 - rx.shape[-1]))))
+    return data, rx, nb
+
+
+@pytest.mark.parametrize("mod,snr", [
+    (ot.Modulation.BPSK, 30.0),
+    (ot.Modulation.QPSK, 30.0),
+    (ot.Modulation.QAM16, 35.0),
+    (ot.Modulation.QAM64, 45.0),
+    (ot.Modulation.QAM256, 55.0),
+])
+def test_chain_payload_exact_all_modulations(mod, snr):
+    rng = np.random.default_rng(5)
+    data, rx, nb = _frame_batch(rng, 4, 240, mod, True, snr, key=3)
+    out = np.asarray(decode_chain(rx, TPL, n_blocks=nb, modulation=mod,
+                                  guard_bands=True, interpret=True))
+    np.testing.assert_array_equal(out[:, 16:16 + 240], data)
+    ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=mod))
+    # payload region must agree with the XLA chain byte-for-byte
+    np.testing.assert_array_equal(out[:, :16 + 240], ref[:, :16 + 240])
+
+
+def test_chain_no_guard_bands():
+    rng = np.random.default_rng(6)
+    data, rx, nb = _frame_batch(rng, 3, 200, ot.Modulation.QPSK, False,
+                                30.0, key=4)
+    out = np.asarray(decode_chain(rx, TPL, n_blocks=nb,
+                                  modulation=ot.Modulation.QPSK,
+                                  guard_bands=False, interpret=True))
+    np.testing.assert_array_equal(out[:, 16:16 + 200], data)
+
+
+def test_chain_planar_input_matches_complex():
+    rng = np.random.default_rng(7)
+    data, rx, nb = _frame_batch(rng, 3, 120, ot.Modulation.QAM16, True,
+                                35.0, key=5)
+    a = np.asarray(decode_chain(rx, TPL, n_blocks=nb,
+                                modulation=ot.Modulation.QAM16,
+                                guard_bands=True, interpret=True))
+    planes = jnp.stack([jnp.real(rx), jnp.imag(rx)], axis=1)
+    b = np.asarray(decode_chain(planes, TPL, n_blocks=nb,
+                                modulation=ot.Modulation.QAM16,
+                                guard_bands=True, interpret=True))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a[:, 16:16 + 120], data)
+
+
+def test_chain_search_window_bounds_acquisition():
+    rng = np.random.default_rng(8)
+    data, rx, nb = _frame_batch(rng, 2, 120, ot.Modulation.QPSK, True,
+                                35.0, key=6, timing=False)
+    # push the frame 600 samples in; decoy = the frame itself at 0 is absent,
+    # so a 1024 window finds it and a 64 window misses it
+    delayed = jnp.concatenate(
+        [jnp.zeros((rx.shape[0], 600), rx.dtype), rx], axis=-1)
+    found = np.asarray(decode_chain(delayed, TPL, n_blocks=nb,
+                                    modulation=ot.Modulation.QPSK,
+                                    guard_bands=True, search_window=1024,
+                                    interpret=True))
+    np.testing.assert_array_equal(found[:, 16:16 + 120], data)
+    missed = np.asarray(decode_chain(delayed, TPL, n_blocks=nb,
+                                     modulation=ot.Modulation.QPSK,
+                                     guard_bands=True, search_window=64,
+                                     interpret=True))
+    assert (missed[:, 16:16 + 120] != data).any()
+
+
+def test_chain_boundary_offsets():
+    """Frame starts at lane/tile boundary offsets exercise every roll class."""
+    rng = np.random.default_rng(9)
+    payload = rng.integers(0, 256, 90, dtype=np.uint8)
+    tx = np.asarray(ot.encode(payload, guard_bands=True,
+                              modulation=ot.Modulation.QPSK,
+                              dtype=jnp.complex64))
+    nb = ot.n_data_blocks(90, ot.Modulation.QPSK, True)
+    need = (cfg.n_sync_chunks + nb) * cfg.sym_len
+    offs = [0, 1, 79, 80, 127, 128, 129, 255]
+    T = need + 400
+    s = 0.003 * (rng.standard_normal((len(offs), T))
+                 + 1j * rng.standard_normal((len(offs), T)))
+    for i, off in enumerate(offs):
+        s[i, off:off + tx.shape[-1]] += tx
+    s = jnp.asarray(s.astype(np.complex64))
+    out = np.asarray(decode_chain(s, TPL, n_blocks=nb,
+                                  modulation=ot.Modulation.QPSK,
+                                  guard_bands=True, interpret=True))
+    np.testing.assert_array_equal(out[:, 16:16 + 90],
+                                  np.tile(payload, (len(offs), 1)))
+
+
+def test_chain_diag_offsets_and_cfo():
+    rng = np.random.default_rng(10)
+    data, rx, nb = _frame_batch(rng, 4, 120, ot.Modulation.QPSK, True,
+                                40.0, key=7)
+    out, diag = decode_chain(rx, TPL, n_blocks=nb,
+                             modulation=ot.Modulation.QPSK,
+                             guard_bands=True, interpret=True,
+                             return_diag=True)
+    ref_off = np.asarray(jnp.clip(
+        ot.sync_offset(rx), 0, rx.shape[-1] - (cfg.n_sync_chunks + nb) * 80))
+    np.testing.assert_array_equal(np.asarray(diag["offset"]).astype(int),
+                                  ref_off)
+    assert np.all(np.asarray(diag["f_delta"]) >= 0)
