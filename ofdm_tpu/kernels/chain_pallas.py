@@ -137,8 +137,8 @@ def _chain_kernel(in_ref, w_ref, s_ref, wr_ref, wi_ref, tsel_ref, rinv_ref,
         axis=0)
 
     # ---- 4. derot-DFT: row-phased select matrix built in-kernel ---------
-    rowi = jax.lax.broadcasted_iota(jnp.float32, (LANE, 1), 0)
-    ang = f_delta * rowi
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    ang = f_delta * rowi.astype(jnp.float32)
     cr = jnp.cos(ang)
     ci = -jnp.sin(ang)
     wr = wr_ref[:, :]
