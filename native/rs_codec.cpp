@@ -467,7 +467,12 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
         const __m512i coef = _mm512_maskz_mov_epi8(dnz, gfmul(d, binv));
         const __mmask64 swap = dnz & _mm512_cmple_epu8_mask(
             _mm512_add_epi8(L, L), _mm512_set1_epi8(static_cast<char>(nn)));
-        for (int i = 0; i <= kEcc; ++i) {
+        // degree bound: after iteration nn, deg C <= ceil((nn+1)/2) + 1 and
+        // deg B (delay-line form, one x per step) <= nn + 1 — terms above
+        // that are structurally zero, so the polynomial update and the
+        // B shift need not touch them (halves the BM work on average)
+        const int dmax = nn + 1 < kEcc ? nn + 1 : kEcc;
+        for (int i = 0; i <= dmax; ++i) {
             const __m512i ci = C[i];
             C[i] = _mm512_xor_si512(ci, gfmul(coef, B[i]));
             B[i] = _mm512_mask_mov_epi8(B[i], swap, ci);
@@ -475,7 +480,8 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
         L = _mm512_mask_sub_epi8(
             L, swap, _mm512_set1_epi8(static_cast<char>(nn + 1)), L);
         binv = _mm512_mask_mov_epi8(binv, swap, dinv);
-        for (int i = kEcc; i >= 1; --i) B[i] = B[i - 1];
+        for (int i = dmax + 1 < kEcc ? dmax + 1 : kEcc; i >= 1; --i)
+            B[i] = B[i - 1];
         B[0] = zero;
     }
     __mmask64 fail =
@@ -496,9 +502,15 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
     hx = _mm_max_epu8(hx, _mm_srli_si128(hx, 1));
     const int lmax = _mm_extract_epi8(hx, 0) & 0xFF;
 
-    // omega = (S * C) mod x^ecc (everything still in the 0x11b domain)
+    // omega = (S * C) mod x^ecc (everything still in the 0x11b domain).
+    // The key identity S(x)C(x) = omega(x) mod x^ecc guarantees
+    // deg(omega) < L for every correctable lane, so only coefficients
+    // below lmax are ever nonzero where they matter — build (and later
+    // evaluate) just those: at the worst case L=16 this halves the Forney
+    // numerator work, and at L=8 it cuts it 4x (round-4 worst-case win).
+    const int wmax = lmax > 0 ? lmax : 1;
     __m512i W[kEcc];
-    for (int k = 0; k < kEcc; ++k) {
+    for (int k = 0; k < wmax; ++k) {
         __m512i acc = S[k];
         for (int i = 1; i <= k; ++i)
             acc = _mm512_xor_si512(acc, gfmul(C[i], S[k - i]));
@@ -522,9 +534,12 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
         for (int i = 1; i <= lmax; ++i) val = _mm512_xor_si512(val, q[i]);
         const __mmask64 root = _mm512_cmpeq_epi8_mask(val, zero);
         if (!root) continue;
+        errcnt = _mm512_mask_add_epi8(errcnt, root, errcnt, one);
+        if (!(root & ~fail)) continue;   // only failed lanes root here —
+                                         // their corrections are discarded
         __m512i oddsum = zero, num = W[0];
         for (int i = 1; i <= lmax; i += 2) oddsum = _mm512_xor_si512(oddsum, q[i]);
-        for (int i = 1; i < kEcc; ++i)
+        for (int i = 1; i < wmax; ++i)
             num = _mm512_xor_si512(num, gfmulc(W[i], T.forney_pow[j][i]));
         fail |= root & _mm512_cmpeq_epi8_mask(oddsum, zero);
         const __mmask64 apply = root & ~fail;
@@ -532,7 +547,6 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
         __m512i col = _mm512_load_si512(tile.cols[kN - 1 - j]);
         col = _mm512_xor_si512(col, _mm512_maskz_mov_epi8(apply, mag));
         _mm512_store_si512(tile.cols[kN - 1 - j], col);
-        errcnt = _mm512_mask_add_epi8(errcnt, root, errcnt, one);
     }
     fail |= _mm512_cmpneq_epi8_mask(errcnt, L);
     for (int b = 0; b < n; ++b)
