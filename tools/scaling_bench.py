@@ -20,6 +20,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_DTYPE_BYTES = {"f32": 4, "c64": 8, "f64": 8, "c128": 16, "u8": 1, "s32": 4,
+                "u32": 4, "pred": 1, "bf16": 2, "s8": 1, "u64": 8, "s64": 8}
+
+
+def _collective_inventory(compiled_text):
+    """Collective op counts + per-device per-step operand bytes (the
+    quantified comm volume; same counter as tests/test_parallel.py)."""
+    import re
+    counts = {}
+    byte_totals = {}
+    for name in ("all-gather", "all-to-all", "reduce-scatter",
+                 "collective-permute", "all-reduce"):
+        pat = rf"= (?:\()?((?:\w+\[[\d,]*\][^ ]*(?:, )?)+)\)? {name}(?:-start)?\("
+        total = 0
+        n = 0
+        for m in re.finditer(pat, compiled_text):
+            n += 1
+            for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+                elems = int(np.prod([int(d) for d in dims.split(",") if d]
+                                    or [1]))
+                total += elems * _DTYPE_BYTES.get(dt, 8)
+        counts[name] = n
+        byte_totals[name] = total
+    counts["total_bytes"] = sum(byte_totals.values())
+    return counts
+
+
 def bench_mesh(n_devices: int, per_device_batch: int = 8,
                payload_len: int = 512, reps: int = 20):
     import ofdm_tpu as ot
@@ -48,8 +75,40 @@ def bench_mesh(n_devices: int, per_device_batch: int = 8,
     jax.block_until_ready(decoded)
     dt = (time.perf_counter() - t0) / reps
     frames_per_s = batch / dt
+    comm = _collective_inventory(
+        step.lower(data, key).compile().as_text())
     return {"devices": n_devices, "batch": batch, "sec_per_step": dt,
-            "frames_per_s": frames_per_s}
+            "frames_per_s": frames_per_s, "collectives_per_step": comm}
+
+
+def bench_two_process_cluster(tmpdir="/tmp/scaling_cluster"):
+    """Real two-OS-process gloo cluster (4x2 global mesh over 8 CPU devices)
+    — the jax.distributed path a TPU pod uses; records parity + wall time."""
+    import socket
+    import subprocess
+
+    os.makedirs(tmpdir, exist_ok=True)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    outs = [os.path.join(tmpdir, f"rank{r}.json") for r in range(2)]
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "--rank", str(r), "--nprocs", "2",
+         "--port", str(port), "--out", outs[r]], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for r in range(2)]
+    rcs = [p.wait(timeout=600) for p in procs]
+    wall = time.perf_counter() - t0
+    reports = [json.load(open(o)) for o in outs]
+    return {"processes": 2, "global_devices": reports[0].get("n_global"),
+            "mesh_shape": reports[0].get("mesh_shape"),
+            "all_ok": all(r.get("ok") for r in reports) and rcs == [0, 0],
+            "bit_errors": sum(r.get("bit_errors", -1) for r in reports),
+            "wall_s_incl_startup": wall}
 
 
 def main():
@@ -64,6 +123,28 @@ def main():
         out["note"] = ("fake CPU devices share one physical host: efficiency "
                        "numbers here only validate the mechanism; real "
                        "scaling requires a multi-chip TPU slice")
+        try:
+            out["two_process_cluster"] = bench_two_process_cluster()
+        except Exception as e:
+            out["two_process_cluster"] = {"error": repr(e)[:300]}
+    # Expected efficiency on a real slice, from the measured comm volume:
+    # every collective is point-to-point ring traffic (ppermute halo) or a
+    # small psum, all riding ICI.  bytes/step is per-device and CONSTANT in
+    # mesh size (halo = sym_len-1 samples/shard edge; psums are scalars or
+    # [52]-bin rows), so comm time ~= total_bytes / ICI_bw + hops * latency,
+    # while compute/step is constant under weak scaling.
+    if results:
+        bs = results[-1]["collectives_per_step"]["total_bytes"]
+        comp = results[0]["sec_per_step"]
+        for name, bw, lat in (("v5e (4x 100 GB/s links)", 400e9, 1e-6),
+                              ("v5p (6x 200 GB/s links)", 1200e9, 1e-6)):
+            t_comm = bs / bw + 4 * lat
+            out.setdefault("ici_model", {})[name] = {
+                "per_step_comm_bytes": bs,
+                "est_comm_s": t_comm,
+                "est_weak_scaling_efficiency":
+                    comp / (comp + t_comm) if comp else None,
+            }
     print(json.dumps(out, indent=2))
 
 
