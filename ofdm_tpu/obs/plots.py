@@ -31,9 +31,47 @@ def _render(grid: np.ndarray) -> str:
     return "\n".join(lines)
 
 
-def stem_plot(signal, width: int = 120, height: int = 40) -> str:
-    """Real-part stem plot of a complex signal (src/plots.rs:6-30)."""
+def _cubic_spline_resample(vals: np.ndarray, n_out: int) -> np.ndarray:
+    """Natural cubic spline through the samples, evaluated at n_out points
+    (the reference interpolates before rendering, src/plots.rs:20-26).
+    Dependency-free tridiagonal solve for the second derivatives."""
+    n = len(vals)
+    if n < 3 or n_out <= n:
+        return vals
+    # natural spline: M[0] = M[n-1] = 0; solve the tridiagonal system for
+    # the interior second derivatives (unit knot spacing)
+    m = np.zeros(n)
+    if n > 2:
+        rhs = 6.0 * (vals[2:] - 2.0 * vals[1:-1] + vals[:-2])
+        diag = np.full(n - 2, 4.0)
+        c = np.ones(n - 3)
+        # Thomas algorithm
+        for i in range(1, n - 2):
+            w = 1.0 / diag[i - 1]
+            diag[i] -= w * c[i - 1]
+            rhs[i] -= w * rhs[i - 1]
+        sol = np.zeros(n - 2)
+        sol[-1] = rhs[-1] / diag[-1]
+        for i in range(n - 4, -1, -1):
+            sol[i] = (rhs[i] - c[i] * sol[i + 1]) / diag[i]
+        m[1:-1] = sol
+    t = np.linspace(0, n - 1, n_out)
+    k = np.clip(t.astype(int), 0, n - 2)
+    u = t - k
+    return ((1 - u) * vals[k] + u * vals[k + 1]
+            - u * (1 - u) * ((2 - u) * m[k] + (1 + u) * m[k + 1]) / 6.0)
+
+
+def stem_plot(signal, width: int = 120, height: int = 40,
+              smooth: bool = False) -> str:
+    """Real-part stem plot of a complex signal (src/plots.rs:6-30).
+
+    ``smooth=True`` resamples through a natural cubic spline at one point
+    per output column before rendering, like the reference's
+    cubic_spline interpolation (src/plots.rs:20-26)."""
     vals = np.real(np.asarray(signal)).astype(np.float64)
+    if smooth and len(vals) > 2:
+        vals = _cubic_spline_resample(vals, width)
     n = len(vals)
     lo, hi = float(vals.min()), float(vals.max())
     if hi == lo:

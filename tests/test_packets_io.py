@@ -117,3 +117,15 @@ class TestObs:
         c = constellation(sig)
         assert isinstance(s, str) and len(s.splitlines()) == 10
         assert isinstance(c, str) and len(c) > 0
+        sm = stem_plot(sig, smooth=True)
+        assert isinstance(sm, str) and len(sm.splitlines()) == 10
+
+    def test_cubic_spline_resample(self):
+        """The smoothing spline (src/plots.rs:20-26 parity) must pass
+        through the knots exactly and track a smooth function closely."""
+        from ofdm_tpu.obs.plots import _cubic_spline_resample
+        x = np.sin(np.linspace(0, 3 * np.pi, 10))
+        r = _cubic_spline_resample(x, 91)
+        np.testing.assert_allclose(r[::10], x, atol=1e-9)
+        dense = np.sin(np.linspace(0, 3 * np.pi, 91))
+        assert np.abs(r - dense).max() < 0.05
