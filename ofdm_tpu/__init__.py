@@ -12,7 +12,8 @@ from .config import DEFAULT_CONFIG, FrameConfig
 from .obs.analysis import Analysis
 from .phy.channel import channel
 from .phy.modulation import Modulation
-from .phy.rx import DecodeError, decode, decode_aligned, decode_frame, sync_offset
+from .phy.rx import (DecodeError, decode, decode_aligned, decode_frame,
+                     decode_frame_planar, sync_offset)
 from .phy.streaming import decode_burst, decode_continuous, decode_regular
 from .phy.tx import (encode, encode_hamming, encode_payload, frame_len,
                      n_data_blocks)
@@ -31,6 +32,7 @@ __all__ = [
     "decode_burst",
     "decode_continuous",
     "decode_frame",
+    "decode_frame_planar",
     "decode_regular",
     "encode",
     "encode_hamming",

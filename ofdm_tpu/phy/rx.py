@@ -530,6 +530,28 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                            and sync_dtype is None
                            and template.shape[-1] <= 128):
         impl = "fused"
+    if impl == "chain":
+        # ONE Pallas pass for the whole chain: sync + align + coherent CFO +
+        # derot-DFT + channel est + equalize + demod + byte pack — the
+        # stream is read from HBM once and only packed payload words come
+        # back (kernels/chain_pallas.py).  Eligibility: real locking
+        # template <= 128 taps, sym_len <= 128, coherent CFO, default
+        # precision, whole-byte blocks.
+        from ..kernels.chain_pallas import decode_chain
+        if cfo_estimator != "coherent":
+            raise ValueError("align_impl='chain' implements the coherent "
+                             "CFO estimator only")
+        if dft_precision is not None or sync_dtype is not None:
+            raise ValueError("align_impl='chain' uses fixed kernel "
+                             "precisions (dft_precision/sync_dtype must be "
+                             "None)")
+        out = decode_chain(flat, template.astype(np.complex64),
+                           n_blocks=n_blocks, modulation=modulation,
+                           guard_bands=guard_bands, cfg=cfg,
+                           search_window=search_window,
+                           interpret=(jax.devices()[0].platform != "tpu"))
+        out = out.reshape(*batch_shape, out.shape[-1])
+        return out[0] if squeeze else out
     # Resolve the tail lowering up front: when the fused Pallas kernel feeds
     # the matrix-derot XLA tail (the TPU production default), hand the
     # kernel's native f32 planes straight to decode_planar_matrix — the
@@ -575,4 +597,47 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                             dft_precision=dft_precision,
                             cfo_estimator=cfo_estimator, demod_impl=demod,
                             derot_impl=derot)
+    return out[0] if squeeze else out
+
+
+def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
+                        guard_bands: bool = False,
+                        modulation: Modulation = Modulation.BPSK,
+                        cfg: FrameConfig = DEFAULT_CONFIG,
+                        search_window: int | None = None) -> jnp.ndarray:
+    """``decode_frame`` for a PLANAR sample stream f32[..., 2, T].
+
+    The serving-honest input interface: captures are interleaved fc32 on the
+    wire, the native loader deinterleaves to planes (native/iq_loader.cpp),
+    and complex h2d transfers are UNIMPLEMENTED on some TPU runtimes (planes
+    are what actually crosses the PCIe/tunnel — core/transfer.py).  On TPU
+    this feeds the fused full-chain kernel directly (align_impl="chain"),
+    so no complex64 stream is ever materialized device-side; elsewhere it
+    assembles the complex view and runs the standard decode_frame.
+    """
+    squeeze = planes.ndim == 2
+    if squeeze:
+        planes = planes[None]
+    assert planes.shape[-2] == 2, "planes must be [..., 2, T]"
+    template = constants.locking_for(cfg)
+    tpl_ok = (template.shape[-1] <= 128 and cfg.sym_len <= 128
+              and np.allclose(np.asarray(template).imag, 0.0))
+    if jax.devices()[0].platform == "tpu" and tpl_ok:
+        from ..kernels.chain_pallas import decode_chain
+        n_chunks = cfg.n_sync_chunks + n_blocks
+        need = n_chunks * cfg.sym_len
+        pad = max(0, need - planes.shape[-1])
+        planes = jnp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(0, pad)])
+        batch_shape = planes.shape[:-2]
+        flatp = planes.reshape(-1, 2, planes.shape[-1])
+        out = decode_chain(flatp, template.astype(np.complex64),
+                           n_blocks=n_blocks, modulation=modulation,
+                           guard_bands=guard_bands, cfg=cfg,
+                           search_window=search_window)
+        out = out.reshape(*batch_shape, out.shape[-1])
+    else:
+        cplx = jax.lax.complex(planes[..., 0, :], planes[..., 1, :])
+        out = decode_frame(cplx, n_blocks=n_blocks, guard_bands=guard_bands,
+                           modulation=modulation, cfg=cfg,
+                           search_window=search_window)
     return out[0] if squeeze else out

@@ -117,6 +117,25 @@ def test_chain_boundary_offsets():
                                   np.tile(payload, (len(offs), 1)))
 
 
+def test_decode_frame_chain_option_and_planar_entry():
+    """decode_frame(align_impl='chain') routes through the fused kernel
+    (interpret on CPU) and decode_frame_planar matches decode_frame."""
+    rng = np.random.default_rng(12)
+    data, rx, nb = _frame_batch(rng, 3, 120, ot.Modulation.QPSK, True,
+                                35.0, key=9)
+    out = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK,
+                                     align_impl="chain"))
+    np.testing.assert_array_equal(out[:, 16:16 + 120], data)
+    planes = jnp.stack([jnp.real(rx), jnp.imag(rx)], axis=1)
+    pl_out = np.asarray(ot.decode_frame_planar(
+        planes, n_blocks=nb, guard_bands=True,
+        modulation=ot.Modulation.QPSK))
+    ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(pl_out, ref)
+
+
 def test_chain_diag_offsets_and_cfo():
     rng = np.random.default_rng(10)
     data, rx, nb = _frame_batch(rng, 4, 120, ot.Modulation.QPSK, True,
