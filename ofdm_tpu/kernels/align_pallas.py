@@ -78,7 +78,7 @@ def planar_align(flat: jnp.ndarray, offsets: jnp.ndarray, need: int,
     return jax.lax.complex(a[:, 0], a[:, 1])
 
 
-def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
+def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, max_off, n_out_tiles,
                        n_lag_tiles, lag_bound, real_template):
     """Fused frame sync + alignment, one VMEM-resident pass per row.
 
@@ -119,7 +119,7 @@ def _sync_align_kernel(in_ref, w_ref, out_ref, *, t, need, n_out_tiles,
     # first-occurrence argmax without dynamic indexing: min lag among maxima
     peak = jnp.max(p)
     idx = jnp.min(jnp.where(p == peak, lag, jnp.int32(2 * t)))
-    off = jnp.clip(idx - 1, 0, t - need)
+    off = jnp.clip(idx - 1, 0, max_off)
     out_ref[0] = _take_window(in_ref, off, n_out_tiles)
 
 
@@ -150,13 +150,24 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     stream is never written as a complex64 intermediate (round-3 VERDICT:
     the complex round-trip was one full extra write + re-read of the
     39 MB aligned stream per headline step).
+
+    ``flat`` may also be PLANAR f32[R, 2, T] (the serving input interface —
+    capture deinterleaves to planes and h2d transfers travel as planes).
+    When the planes are the jit argument itself and reach this kernel
+    unchanged, XLA assigns the parameter the Pallas-required layout and the
+    ENTIRE input-side prep of the complex path (X64Split custom-calls +
+    plane stack + batch-minor -> row-major relayout, ~118 MB of HBM writes
+    per headline step in the round-4 HLO audit) disappears.
     """
     import numpy as np
 
     from ..ops.xcorr import (_TEMPLATE_STORE, _template_is_real,
                              _toeplitz_template, _toeplitz_template_real)
 
-    r, t = flat.shape
+    if flat.ndim == 3:
+        r, _, t = flat.shape
+    else:
+        r, t = flat.shape
     tpl = np.asarray(template)
     k = tpl.shape[-1]
     assert k <= 128, "sync_align supports templates up to 128 taps"
@@ -172,8 +183,20 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     n_lag_tiles = -(-lag_bound // 128)
     n_out_tiles = -(-need // 128)
     tiles = max(n_lag_tiles + 1, (t - need) // 128 + n_out_tiles + 1)
-    f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)
-    f = jnp.pad(f, ((0, 0), (0, 0), (0, tiles * 128 - t)))
+    if flat.ndim == 3 and t % 128 == 0 and t // 128 >= tiles:
+        # pre-padded planar input: no pad/stack at all — when the planes
+        # are the jit argument, the parameter gets the Pallas layout and
+        # zero input-side copies remain (see docstring).  Contract: at
+        # least one all-zero tile beyond the true stream (the roll carry).
+        tiles = t // 128
+        n_lag_tiles = min(n_lag_tiles, tiles - 1)
+        f = flat.astype(jnp.float32)
+    elif flat.ndim == 3:
+        f = jnp.pad(flat.astype(jnp.float32),
+                    ((0, 0), (0, 0), (0, tiles * 128 - t)))
+    else:
+        f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, tiles * 128 - t)))
     f = f.reshape(r, 2, tiles, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -186,8 +209,12 @@ def sync_align(flat: jnp.ndarray, template, need: int,
         out_specs=pl.BlockSpec((1, 2, n_out_tiles, 128),
                                lambda i: (i, 0, 0, 0)),
     )
+    # the clip bound also keeps the window slice inside the provided tiles
+    # (pre-padded planar inputs may carry fewer spare tiles than the padded
+    # path would have allocated)
+    max_off = min(t - need, (tiles - n_out_tiles - 1) * 128 + 127)
     out = pl.pallas_call(
-        functools.partial(_sync_align_kernel, t=t, need=need,
+        functools.partial(_sync_align_kernel, t=t, max_off=max_off,
                           n_out_tiles=n_out_tiles, n_lag_tiles=n_lag_tiles,
                           lag_bound=lag_bound, real_template=real_template),
         grid_spec=grid_spec,

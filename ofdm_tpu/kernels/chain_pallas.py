@@ -88,9 +88,9 @@ def _dot_t(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _chain_kernel(in_ref, w_ref, s_ref, wr_ref, wi_ref, tsel_ref, rinv_ref,
-                  pack_ref, out_ref, diag_ref, *,
-                  t, need, sym, cp, n_fft, n_cls, m_per, span, k_pad,
+def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
+                  rinv_ref, pack_ref, out_ref, diag_ref, *,
+                  t, max_off, sym, cp, n_fft, n_cls, m_per, span, k_pad,
                   n_lag_tiles, lag_bound, last_chunk, n_train,
                   n_data, n_pilots, bps, n_words):
     # ---- 1. frame sync (align_pallas real-template form) ----------------
@@ -109,32 +109,52 @@ def _chain_kernel(in_ref, w_ref, s_ref, wr_ref, wi_ref, tsel_ref, rinv_ref,
     p = jnp.where(lag < lag_bound, power, -1.0)
     peak = jnp.max(p)
     idx = jnp.min(jnp.where(p == peak, lag, jnp.int32(2 * t)))
-    off = jnp.clip(idx - 1, 0, t - need)
+    off = jnp.clip(idx - 1, 0, max_off)
 
-    # ---- 3a. per-class shifted windows (class p -> tile-aligned chunks) -
-    g = [_take_window(in_ref, off + ((sym * q) % 128), k_pad)
-         for q in range(n_cls)]                     # each [2, k_pad, 128]
+    # ---- 3. chunk regrouping: ONE window + selection MATMULS ------------
+    # v1 took n_cls shifted windows (heavy VPU roll/select passes over the
+    # whole window per class — measured 1.8 ms/step); v2 takes the window
+    # once and lets the MXU do the strided gather: S/S1 pick each slot's
+    # low/high tile row, then a per-class static lane roll + carry select
+    # on the TINY [m_per, 128] class block aligns the chunk to lane 0.
+    w = _take_window(in_ref, off, k_pad)            # [2, k_pad, 128]
+    xlr = _dot(s_ref[:, :], w[0])                   # [slots, 128] low tile
+    xli = _dot(s_ref[:, :], w[1])
+    xhr = _dot(s1_ref[:, :], w[0])                  # [slots, 128] tile + 1
+    xhi = _dot(s1_ref[:, :], w[1])
 
-    # ---- 2. coherent CFO from the last two preamble chunks --------------
-    # product v[u] * conj(w[u]) with v = stream shifted by sym_len = class-1
-    # window when sym % 128 == sym (sym <= 128), masked to chunk last-1.
-    w0r, w0i = g[0][0], g[0][1]
-    gs = _take_window(in_ref, off + sym, k_pad) if n_cls == 1 else g[1]
-    vr, vi = gs[0], gs[1]
-    gl = jax.lax.broadcasted_iota(jnp.int32, w0r.shape, 0) * 128 \
-        + jax.lax.broadcasted_iota(jnp.int32, w0r.shape, 1)
-    cm = (gl >= (last_chunk - 1) * sym) & (gl < last_chunk * sym)
-    corr_re = jnp.sum(jnp.where(cm, vr * w0r + vi * w0i, 0.0))
-    corr_im = jnp.sum(jnp.where(cm, vi * w0r - vr * w0i, 0.0))
+    def regroup(xl, xh):
+        parts = []
+        for q in range(n_cls):
+            s_q = (sym * q) % 128
+            lo = xl[q * m_per:(q + 1) * m_per, :]
+            hi = xh[q * m_per:(q + 1) * m_per, :]
+            if s_q == 0:
+                parts.append(lo)
+                continue
+            rl = pltpu.roll(lo, shift=128 - s_q, axis=1)
+            rh = pltpu.roll(hi, shift=128 - s_q, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, rl.shape, 1)
+            parts.append(jnp.where(lane < 128 - s_q, rl, rh))
+        return jnp.concatenate(parts, axis=0)       # [slots, 128]
+
+    chre = regroup(xlr, xhr)
+    chim = regroup(xli, xhi)
+
+    # ---- 2. coherent CFO from the regrouped preamble chunk rows ---------
+    # chunk c lives at slot (c % n_cls) * m_per + c // n_cls; lanes 0:sym
+    # hold its samples.  corr = sum right * conj(left) over the full chunk.
+    sl_l = (last_chunk - 1) % n_cls * m_per + (last_chunk - 1) // n_cls
+    sl_r = last_chunk % n_cls * m_per + last_chunk // n_cls
+    lr = chre[sl_l:sl_l + 1, :]
+    li = chim[sl_l:sl_l + 1, :]
+    rr = chre[sl_r:sl_r + 1, :]
+    ri = chim[sl_r:sl_r + 1, :]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, lr.shape, 1)
+    cm = lane1 < sym
+    corr_re = jnp.sum(jnp.where(cm, rr * lr + ri * li, 0.0))
+    corr_im = jnp.sum(jnp.where(cm, ri * lr - rr * li, 0.0))
     f_delta = jnp.abs(_atan2_soft(corr_im, corr_re)) / jnp.float32(sym)
-
-    # ---- 3b. chunk gather via 0/1 selection matmuls ---------------------
-    chre = jnp.concatenate(
-        [_dot(s_ref[q * m_per:(q + 1) * m_per, :], g[q][0]) for q in range(n_cls)],
-        axis=0)                                     # [slots, 128]
-    chim = jnp.concatenate(
-        [_dot(s_ref[q * m_per:(q + 1) * m_per, :], g[q][1]) for q in range(n_cls)],
-        axis=0)
 
     # ---- 4. derot-DFT: row-phased select matrix built in-kernel ---------
     rowi = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
@@ -212,22 +232,24 @@ def _class_geometry(sym: int, n_chunks: int):
     span = sym * n_cls // 128
     m_per = -(-n_chunks // n_cls)
     m_per = -(-m_per // 8) * 8
-    k_rows = 1 + max((sym * q - (sym * q) % 128) // 128 + span * (m_per - 1)
+    # +2: the high-tile select (S1) reads row k0 + span*m + 1
+    k_rows = 2 + max((sym * q - (sym * q) % 128) // 128 + span * (m_per - 1)
                      for q in range(n_cls))
     k_pad = -(-k_rows // 8) * 8
     return n_cls, span, m_per, k_pad
 
 
 @lru_cache(maxsize=None)
-def _select_matrix(sym: int, n_chunks: int) -> np.ndarray:
-    """[n_cls * m_per, k_pad] 0/1 gather: row q*m_per + m selects shifted-
-    window tile row (sym*q - (sym*q)%128)/128 + span*m (chunk c = m*n_cls+q)."""
+def _select_matrix(sym: int, n_chunks: int, hi: bool = False) -> np.ndarray:
+    """[n_cls * m_per, k_pad] 0/1 gather: row q*m_per + m selects window
+    tile row floor(sym*(m*n_cls + q)/128) (+1 for the ``hi`` carry tile) —
+    chunk c = m*n_cls + q starts at lane (sym*q) % 128 of that tile."""
     n_cls, span, m_per, k_pad = _class_geometry(sym, n_chunks)
     s = np.zeros((n_cls * m_per, k_pad), np.float32)
     for q in range(n_cls):
         k0 = (sym * q - (sym * q) % 128) // 128
         for m in range(m_per):
-            s[q * m_per + m, k0 + span * m] = 1.0
+            s[q * m_per + m, k0 + span * m + (1 if hi else 0)] = 1.0
     return s
 
 
@@ -310,15 +332,19 @@ def decode_chain(flat, template, *, n_blocks: int,
     assert t >= need
 
     n_cls, span, m_per, k_pad = _class_geometry(sym, n_chunks)
-    s_max = max((sym * q) % 128 for q in range(n_cls))
     lag_bound = t if search_window is None else min(t, search_window + k)
     n_lag_tiles = -(-lag_bound // 128)
-    # window slices: q' = (off + s) // 128 <= (t - need + s_max) // 128;
-    # _take_window reads k_pad + 1 tiles from q'
-    tiles = max(n_lag_tiles + 1,
-                (t - need + s_max) // 128 + k_pad + 2)
-    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, tiles * 128 - t)))
+    # _take_window reads k_pad + 1 tiles from q = off // 128
+    tiles = max(n_lag_tiles + 1, (t - need) // 128 + k_pad + 2)
+    if flat.ndim == 3 and t % 128 == 0 and t // 128 >= tiles:
+        # pre-padded planar input: zero input-side copies (see sync_align)
+        tiles = t // 128
+        n_lag_tiles = min(n_lag_tiles, tiles - 1)
+    else:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, tiles * 128 - t)))
     planes = planes.reshape(r, 2, tiles, 128)
+    max_off = min(t - need, (tiles - k_pad - 1) * 128 - 1)
+    assert max_off >= 0
 
     if guard_bands:
         sel = tuple(cfg.data_indices) + tuple(cfg.pilot_indices)
@@ -335,6 +361,7 @@ def decode_chain(flat, template, *, n_blocks: int,
     wr, wi = _dft_row_planes(cfg.n_fft, cfg.cp_len, sel)
     t0 = cfg.n_locking + cfg.n_preamble
     smat = jnp.asarray(_select_matrix(sym, n_chunks))
+    smat1 = jnp.asarray(_select_matrix(sym, n_chunks, hi=True))
     tsel = jnp.asarray(_train_select_matrix(sym, n_chunks, t0, cfg.n_training))
     rinv = jnp.asarray(_refinv_planes(cfg.n_fft, cfg.training_seed, sel,
                                       cfg.n_training))
@@ -342,7 +369,7 @@ def decode_chain(flat, template, *, n_blocks: int,
     slots = n_cls * m_per
 
     kern = functools.partial(
-        _chain_kernel, t=t, need=need, sym=sym, cp=cfg.cp_len,
+        _chain_kernel, t=t, max_off=max_off, sym=sym, cp=cfg.cp_len,
         n_fft=cfg.n_fft, n_cls=n_cls, m_per=m_per, span=span, k_pad=k_pad,
         n_lag_tiles=n_lag_tiles, lag_bound=lag_bound,
         last_chunk=cfg.n_locking + cfg.n_preamble - 1, n_train=cfg.n_training,
@@ -353,6 +380,7 @@ def decode_chain(flat, template, *, n_blocks: int,
         in_specs=[
             pl.BlockSpec((1, 2, tiles, 128), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((256, 128), lambda i: (0, 0)),
+            pl.BlockSpec((slots, k_pad), lambda i: (0, 0)),
             pl.BlockSpec((slots, k_pad), lambda i: (0, 0)),
             pl.BlockSpec((LANE, LANE), lambda i: (0, 0)),
             pl.BlockSpec((LANE, LANE), lambda i: (0, 0)),
@@ -373,7 +401,8 @@ def decode_chain(flat, template, *, n_blocks: int,
             jax.ShapeDtypeStruct((r, 8, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(planes, w, smat, jnp.asarray(wr), jnp.asarray(wi), tsel, rinv, pack)
+    )(planes, w, smat, smat1, jnp.asarray(wr), jnp.asarray(wi), tsel, rinv,
+      pack)
 
     # tiny XLA epilogue on the word tensor
     perm = jnp.asarray(_chunk_perm(sym, n_chunks, cfg.n_sync_chunks))

@@ -604,16 +604,26 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
                         guard_bands: bool = False,
                         modulation: Modulation = Modulation.BPSK,
                         cfg: FrameConfig = DEFAULT_CONFIG,
-                        search_window: int | None = None) -> jnp.ndarray:
+                        search_window: int | None = None,
+                        align_impl: str = "auto") -> jnp.ndarray:
     """``decode_frame`` for a PLANAR sample stream f32[..., 2, T].
 
     The serving-honest input interface: captures are interleaved fc32 on the
     wire, the native loader deinterleaves to planes (native/iq_loader.cpp),
     and complex h2d transfers are UNIMPLEMENTED on some TPU runtimes (planes
     are what actually crosses the PCIe/tunnel — core/transfer.py).  On TPU
-    this feeds the fused full-chain kernel directly (align_impl="chain"),
-    so no complex64 stream is ever materialized device-side; elsewhere it
-    assembles the complex view and runs the standard decode_frame.
+    the planes feed the fused Pallas sync+align kernel DIRECTLY and the
+    planar matrix-derot tail decodes them — no complex64 stream ever exists
+    device-side, and when the planes are the jit argument itself the entire
+    input-side prep of the complex path (X64Split + stack + relayout,
+    ~118 MB/step at the headline shape — round-4 HLO audit) disappears.
+    For zero input copies, pre-pad the stream so T is a multiple of 128
+    with at least one all-zero tile beyond the true samples.
+
+    ``align_impl``: "auto" = the production fused sync+align kernel +
+    planar matrix tail; "chain" = the experimental one-pass full-chain
+    kernel (kernels/chain_pallas.py).  Off-TPU this assembles the complex
+    view and runs the standard decode_frame (CPU parity path).
     """
     squeeze = planes.ndim == 2
     if squeeze:
@@ -622,18 +632,28 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
     template = constants.locking_for(cfg)
     tpl_ok = (template.shape[-1] <= 128 and cfg.sym_len <= 128
               and np.allclose(np.asarray(template).imag, 0.0))
-    if jax.devices()[0].platform == "tpu" and tpl_ok:
-        from ..kernels.chain_pallas import decode_chain
-        n_chunks = cfg.n_sync_chunks + n_blocks
-        need = n_chunks * cfg.sym_len
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_chunks = cfg.n_sync_chunks + n_blocks
+    need = n_chunks * cfg.sym_len
+    if on_tpu and tpl_ok:
         pad = max(0, need - planes.shape[-1])
         planes = jnp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(0, pad)])
         batch_shape = planes.shape[:-2]
         flatp = planes.reshape(-1, 2, planes.shape[-1])
-        out = decode_chain(flatp, template.astype(np.complex64),
-                           n_blocks=n_blocks, modulation=modulation,
-                           guard_bands=guard_bands, cfg=cfg,
-                           search_window=search_window)
+        if align_impl == "chain":
+            from ..kernels.chain_pallas import decode_chain
+            out = decode_chain(flatp, template.astype(np.complex64),
+                               n_blocks=n_blocks, modulation=modulation,
+                               guard_bands=guard_bands, cfg=cfg,
+                               search_window=search_window)
+        else:
+            from ..kernels.align_pallas import sync_align
+            ap = sync_align(flatp, template.astype(np.complex64), need,
+                            search_window=search_window, planar=True)
+            out, _ = decode_planar_matrix(
+                ap.reshape(-1, 2, need), n_chunks=n_chunks,
+                guard_bands=guard_bands, modulation=modulation, cfg=cfg,
+                cfo_estimator="coherent")
         out = out.reshape(*batch_shape, out.shape[-1])
     else:
         cplx = jax.lax.complex(planes[..., 0, :], planes[..., 1, :])
