@@ -111,6 +111,50 @@ def bench_headline(jax, jnp, ot):
 
     dt, attempts = _retry(measure, 1.8e-3, jax.default_backend() == "cpu")
 
+    # planar-input serving variant: the stream as pre-tiled f32 planes with
+    # the row-major layout pinned (ot.planar_input_format) — what a capture
+    # pipeline actually uploads (complex h2d is UNIMPLEMENTED on this
+    # runtime; transfers travel as planes).  Removes every input-side copy
+    # of the complex path (round-4 HLO audit: 197 MB/step fewer writes).
+    planar = None
+    try:
+        t = rxs[0].shape[-1]
+        tiles = -(-t // 128) + 1
+        prep = jax.jit(lambda s: jnp.pad(
+            jnp.stack([jnp.real(s), jnp.imag(s)], axis=1),
+            ((0, 0), (0, 0), (0, tiles * 128 - t))
+        ).reshape(s.shape[0], 2, tiles, 128))
+        prxs = [jax.block_until_ready(prep(rx)) for rx in rxs]
+        shardings = (ot.planar_input_format(), None) \
+            if jax.default_backend() == "tpu" else None
+
+        def pstep_fn(s, carry):
+            out = ot.decode_frame_planar(s, n_blocks=nb, guard_bands=True,
+                                         modulation=mod)
+            return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
+
+        pstep = jax.jit(pstep_fn, in_shardings=shardings) if shardings \
+            else jax.jit(pstep_fn)
+        pc = [pstep(prxs[0], jnp.float32(0.0))]
+        float(pc[0])
+
+        def pmeasure():
+            t0 = time.perf_counter()
+            c = pc[0]
+            for i in range(REPS):
+                c = pstep(prxs[i % N_INPUTS], c)
+            float(c)
+            pc[0] = c
+            return (time.perf_counter() - t0) / REPS
+
+        pdt, pattempts = _retry(pmeasure, 1.8e-3,
+                                jax.default_backend() == "cpu", max_tries=2)
+        planar = {"seconds_per_step": pdt,
+                  "samples_per_s": n_samples / pdt,
+                  "attempts_seconds_per_step": pattempts}
+    except Exception as e:
+        planar = {"error": repr(e)[:300]}
+
     # single-call blocking latency (forced per call via the carry fetch)
     t1 = time.perf_counter()
     c = carry_box[0]
@@ -126,6 +170,7 @@ def bench_headline(jax, jnp, ot):
             "payload_bytes": PAYLOAD, "byte_errors_clean_batch": errs,
             "seconds_per_step": dt, "blocking_latency_s": lat,
             "attempts_seconds_per_step": attempts,
+            "planar_serving_input": planar,
         },
     }
 

@@ -182,20 +182,27 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     lag_bound = t if search_window is None else min(t, search_window + k)
     n_lag_tiles = -(-lag_bound // 128)
     n_out_tiles = -(-need // 128)
-    tiles = max(n_lag_tiles + 1, (t - need) // 128 + n_out_tiles + 1)
-    if flat.ndim == 3 and t % 128 == 0 and t // 128 >= tiles:
+    if flat.ndim == 3 and t % 128 == 0 and t // 128 >= n_out_tiles + 1:
         # pre-padded planar input: no pad/stack at all — when the planes
         # are the jit argument, the parameter gets the Pallas layout and
         # zero input-side copies remain (see docstring).  Contract: at
-        # least one all-zero tile beyond the true stream (the roll carry).
+        # least one all-zero tile beyond the true stream (the roll carry;
+        # the lag scan is clipped off that final pad tile, where the
+        # contract guarantees no signal).  Sync offsets are clipped to the
+        # last position whose full window fits the provided tiles
+        # (max_off below) — provide more spare tiles if frames may start
+        # deep into the buffer.
         tiles = t // 128
         n_lag_tiles = min(n_lag_tiles, tiles - 1)
+        lag_bound = min(lag_bound, n_lag_tiles * 128)
         f = flat.astype(jnp.float32)
-    elif flat.ndim == 3:
-        f = jnp.pad(flat.astype(jnp.float32),
-                    ((0, 0), (0, 0), (0, tiles * 128 - t)))
     else:
-        f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)
+        tiles = max(n_lag_tiles + 1,
+                    (t - need) // 128 + n_out_tiles + 1)
+        if flat.ndim == 3:
+            f = flat.astype(jnp.float32)
+        else:
+            f = jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=1)
         f = jnp.pad(f, ((0, 0), (0, 0), (0, tiles * 128 - t)))
     f = f.reshape(r, 2, tiles, 128)
 

@@ -92,7 +92,7 @@ def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
                   rinv_ref, pack_ref, out_ref, diag_ref, *,
                   t, max_off, sym, cp, n_fft, n_cls, m_per, span, k_pad,
                   n_lag_tiles, lag_bound, last_chunk, n_train,
-                  n_data, n_pilots, bps, n_words):
+                  n_data, n_pilots, bps, n_words, profile):
     # ---- 1. frame sync (align_pallas real-template form) ----------------
     sr = in_ref[0, 0]
     si = in_ref[0, 1]
@@ -110,6 +110,13 @@ def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
     peak = jnp.max(p)
     idx = jnp.min(jnp.where(p == peak, lag, jnp.int32(2 * t)))
     off = jnp.clip(idx - 1, 0, max_off)
+
+    if profile == "sync_only":
+        x = jnp.zeros((n_cls * m_per, LANE), jnp.float32) + peak \
+            + off.astype(jnp.float32)
+        out_ref[0] = _dot_t(pack_ref[0], x).astype(jnp.int32)
+        diag_ref[0] = jnp.zeros((8, LANE), jnp.float32) + peak
+        return
 
     # ---- 3. chunk regrouping: ONE window + selection MATMULS ------------
     # v1 took n_cls shifted windows (heavy VPU roll/select passes over the
@@ -190,10 +197,20 @@ def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
     ihr = hr / hm                                   # [1, 128]
     ihi = -hi / hm
 
+    # ---- profiling cut points (profile != "full" outputs garbage) -------
+    if profile == "no_dft":
+        out_ref[0] = _dot_t(pack_ref[0], chre).astype(jnp.int32)
+        diag_ref[0] = jnp.zeros((8, LANE), jnp.float32) + f_delta
+        return
+    if profile == "no_tail":
+        out_ref[0] = _dot_t(pack_ref[0], yr).astype(jnp.int32)
+        diag_ref[0] = jnp.zeros((8, LANE), jnp.float32) + ihr
+        return
+
     # ---- 6. equalize + pilot phase + demod + transposed pack ------------
     e_r = yr * ihr - yi * ihi
     e_i = yr * ihi + yi * ihr
-    if n_pilots:
+    if n_pilots and profile != "no_atan2":
         lane = jax.lax.broadcasted_iota(jnp.int32, e_r.shape, 1)
         pilot = (lane >= n_data) & (lane < n_data + n_pilots)
         at2 = _atan2_soft(e_i, e_r)
@@ -215,10 +232,13 @@ def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
         n_levels = 1 << half
         planes = _gray_planes(d_r, half, n_levels) + \
             _gray_planes(d_i, half, n_levels)
-    lohi = _dot_t(pack_ref[0], planes[0])           # [2*n_words, slots]
-    for b in range(1, bps):
-        lohi = lohi + _dot_t(pack_ref[b], planes[b])
-    out_ref[0] = lohi.astype(jnp.int32)
+    if profile == "no_pack":
+        out_ref[0] = _dot_t(pack_ref[0], planes[0]).astype(jnp.int32)
+    else:
+        lohi = _dot_t(pack_ref[0], planes[0])       # [2*n_words, slots]
+        for b in range(1, bps):
+            lohi = lohi + _dot_t(pack_ref[b], planes[b])
+        out_ref[0] = lohi.astype(jnp.int32)
 
     z = jnp.zeros((1, LANE), jnp.float32)
     diag_ref[0] = jnp.concatenate(
@@ -303,7 +323,8 @@ def decode_chain(flat, template, *, n_blocks: int,
                  cfg: FrameConfig = DEFAULT_CONFIG,
                  search_window: int | None = None,
                  interpret: bool = False,
-                 return_diag: bool = False):
+                 return_diag: bool = False,
+                 profile: str = "full"):
     """Fused-chain decode: complex64[R, T] or planar f32[R, 2, T] ->
     uint8[R, n_bytes] (bytes in decode_frame's layout: n_blocks data blocks,
     demod-packed).  TPU production path for real locking templates,
@@ -335,12 +356,14 @@ def decode_chain(flat, template, *, n_blocks: int,
     lag_bound = t if search_window is None else min(t, search_window + k)
     n_lag_tiles = -(-lag_bound // 128)
     # _take_window reads k_pad + 1 tiles from q = off // 128
-    tiles = max(n_lag_tiles + 1, (t - need) // 128 + k_pad + 2)
-    if flat.ndim == 3 and t % 128 == 0 and t // 128 >= tiles:
-        # pre-padded planar input: zero input-side copies (see sync_align)
+    if flat.ndim == 3 and t % 128 == 0 and t // 128 >= k_pad + 2:
+        # pre-padded planar input: zero input-side copies (see sync_align);
+        # sync offsets clip to the last position whose window fits
         tiles = t // 128
         n_lag_tiles = min(n_lag_tiles, tiles - 1)
+        lag_bound = min(lag_bound, n_lag_tiles * 128)
     else:
+        tiles = max(n_lag_tiles + 1, (t - need) // 128 + k_pad + 2)
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, tiles * 128 - t)))
     planes = planes.reshape(r, 2, tiles, 128)
     max_off = min(t - need, (tiles - k_pad - 1) * 128 - 1)
@@ -373,7 +396,8 @@ def decode_chain(flat, template, *, n_blocks: int,
         n_fft=cfg.n_fft, n_cls=n_cls, m_per=m_per, span=span, k_pad=k_pad,
         n_lag_tiles=n_lag_tiles, lag_bound=lag_bound,
         last_chunk=cfg.n_locking + cfg.n_preamble - 1, n_train=cfg.n_training,
-        n_data=n_data, n_pilots=n_pilots, bps=bps, n_words=n_words)
+        n_data=n_data, n_pilots=n_pilots, bps=bps, n_words=n_words,
+        profile=profile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(r,),

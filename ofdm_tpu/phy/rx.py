@@ -625,6 +625,10 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
     kernel (kernels/chain_pallas.py).  Off-TPU this assembles the complex
     view and runs the standard decode_frame (CPU parity path).
     """
+    if planes.ndim >= 4 and planes.shape[-1] == 128 and planes.shape[-3] == 2:
+        # pre-tiled [..., 2, tiles, 128] form (planar_input_format): merge
+        # the tile split — a free bitcast on a row-major argument
+        planes = planes.reshape(*planes.shape[:-2], -1)
     squeeze = planes.ndim == 2
     if squeeze:
         planes = planes[None]
@@ -661,3 +665,24 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
                            modulation=modulation, cfg=cfg,
                            search_window=search_window)
     return out[0] if squeeze else out
+
+
+def planar_input_format(device=None):
+    """jit ``in_shardings`` entry pinning a planar-stream argument to the
+    row-major layout the fused Pallas kernels consume.
+
+    XLA auto-assigns batch-minor layouts to large planar parameters, which
+    costs a full-stream relayout copy before the kernel (39.6 MB/step at
+    the headline shape — round-4 HLO audit).  Passing the stream as
+    f32[R, 2, tiles, 128] (tiles = ceil(T/128) + 1 spare zero tile) with
+
+        step = jax.jit(fn, in_shardings=(ot.planar_input_format(), ...))
+
+    removes every input-side copy: the parameter IS the kernel operand.
+    """
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+    if device is None:
+        device = jax.devices()[0]
+    return Format(Layout(major_to_minor=(0, 1, 2, 3)),
+                  SingleDeviceSharding(device))

@@ -134,6 +134,14 @@ def test_decode_frame_chain_option_and_planar_entry():
     ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
                                      modulation=ot.Modulation.QPSK))
     np.testing.assert_array_equal(pl_out, ref)
+    # pre-tiled 4D form [R, 2, tiles, 128] (planar_input_format contract)
+    t = planes.shape[-1]
+    tiles = -(-t // 128) + 1
+    p4 = jnp.pad(planes, ((0, 0), (0, 0), (0, tiles * 128 - t))
+                 ).reshape(planes.shape[0], 2, tiles, 128)
+    p4_out = np.asarray(ot.decode_frame_planar(
+        p4, n_blocks=nb, guard_bands=True, modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(p4_out, ref)
 
 
 def test_chain_diag_offsets_and_cfo():
