@@ -127,6 +127,11 @@ def bench_headline(jax, jnp, ot):
         prxs = [jax.block_until_ready(prep(rx)) for rx in rxs]
         shardings = (ot.planar_input_format(), None) \
             if jax.default_backend() == "tpu" else None
+        if shardings:
+            # the buffers must LIVE in the pinned layout, or every dispatch
+            # pays an input relayout outside the measured graph
+            prxs = [jax.block_until_ready(
+                jax.device_put(p, shardings[0])) for p in prxs]
 
         def pstep_fn(s, carry):
             out = ot.decode_frame_planar(s, n_blocks=nb, guard_bands=True,

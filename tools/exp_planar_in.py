@@ -59,18 +59,31 @@ def main():
     n_samples = rxs[0].shape[0] * rxs[0].shape[1]
     log(f"planar buffer: {planar[0].shape} ({planar[0].nbytes/2**20:.1f} MiB)")
 
-    def mk(fn):
-        @jax.jit
+    def mk(fn, pinned=False):
         def step(s, carry):
             out = fn(s)
             return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9, out
-        return step
+        if pinned and jax.default_backend() == "tpu":
+            return jax.jit(step,
+                           in_shardings=(ot.planar_input_format(), None))
+        return jax.jit(step)
 
+    tiles = t_pad // 128
+    # buffers must LIVE in the pinned layout (else every dispatch pays an
+    # input relayout outside the graph)
+    fmt = ot.planar_input_format() if jax.default_backend() == "tpu" else None
+    planar4 = [p.reshape(BATCH, 2, tiles, 128) for p in planar]
+    if fmt is not None:
+        planar4 = [jax.block_until_ready(jax.device_put(p, fmt))
+                   for p in planar4]
     variants = [
         ("frame_complex", mk(lambda s: ot.decode_frame(
             s, n_blocks=nb, guard_bands=True, modulation=mod)), rxs),
         ("planar_fused", mk(lambda s: ot.decode_frame_planar(
             s, n_blocks=nb, guard_bands=True, modulation=mod)), planar),
+        ("planar4_pinned", mk(lambda s: ot.decode_frame_planar(
+            s, n_blocks=nb, guard_bands=True, modulation=mod),
+            pinned=True), planar4),
         ("planar_chain", mk(lambda s: ot.decode_frame_planar(
             s, n_blocks=nb, guard_bands=True, modulation=mod,
             align_impl="chain")), planar),
