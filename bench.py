@@ -120,18 +120,20 @@ def bench_headline(jax, jnp, ot):
     try:
         t = rxs[0].shape[-1]
         tiles = -(-t // 128) + 1
-        prep = jax.jit(lambda s: jnp.pad(
-            jnp.stack([jnp.real(s), jnp.imag(s)], axis=1),
-            ((0, 0), (0, 0), (0, tiles * 128 - t))
-        ).reshape(s.shape[0], 2, tiles, 128))
-        prxs = [jax.block_until_ready(prep(rx)) for rx in rxs]
         shardings = (ot.planar_input_format(), None) \
             if jax.default_backend() == "tpu" else None
-        if shardings:
-            # the buffers must LIVE in the pinned layout, or every dispatch
-            # pays an input relayout outside the measured graph
-            prxs = [jax.block_until_ready(
-                jax.device_put(p, shardings[0])) for p in prxs]
+        # the buffers must LIVE in the pinned layout, or every dispatch
+        # pays an input relayout outside the measured graph; pin the prep
+        # jit's OUTPUT layout (device_put of an exotic-layout jit output
+        # does not reliably relayout, and a host round-trip would crawl
+        # through the tunnel)
+        prep_fn = lambda s: jnp.pad(
+            jnp.stack([jnp.real(s), jnp.imag(s)], axis=1),
+            ((0, 0), (0, 0), (0, tiles * 128 - t))
+        ).reshape(s.shape[0], 2, tiles, 128)
+        prep = jax.jit(prep_fn, out_shardings=shardings[0]) if shardings \
+            else jax.jit(prep_fn)
+        prxs = [jax.block_until_ready(prep(rx)) for rx in rxs]
 
         def pstep_fn(s, carry):
             out = ot.decode_frame_planar(s, n_blocks=nb, guard_bands=True,
