@@ -303,7 +303,10 @@ def bench_serving(jax, jnp, ot):
 
     carry = jnp.float32(0.0)
     out, carry = serve(dev_bufs[0], carry)     # compile + warm
-    assert process(np.asarray(out), 0)
+    t0 = time.perf_counter()
+    out_np = np.asarray(out)
+    d2h_s = time.perf_counter() - t0           # the relay's d2h is the
+    assert process(out_np, 0)                  # composition's bottleneck
 
     def measure():
         nonlocal carry
@@ -342,6 +345,13 @@ def bench_serving(jax, jnp, ot):
                    "image_frames_per_s": SRV_FRAMES / dt,
                    "seconds_per_buffer": dt,
                    "rs_native": rs._LIB is not None,
+                   "d2h_seconds_per_buffer": d2h_s,
+                   "note": ("composition wall-clock includes fetching the "
+                            "decoded bytes to the host for the RS tail; on "
+                            "the tunneled runtime that d2h dominates "
+                            "(direct-attached hosts move it ~100x faster — "
+                            "see docs/BENCHMARKS.md 'Sustained end-to-end "
+                            "serving')"),
                    "attempts_seconds_per_buffer": attempts},
     }
 

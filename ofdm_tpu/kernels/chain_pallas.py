@@ -92,7 +92,7 @@ def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
                   rinv_ref, pack_ref, out_ref, diag_ref, *,
                   t, max_off, sym, cp, n_fft, n_cls, m_per, span, k_pad,
                   n_lag_tiles, lag_bound, last_chunk, n_train,
-                  n_data, n_pilots, bps, n_words, profile):
+                  n_data, n_pilots, bps, n_words, real_template, profile):
     # ---- 1. frame sync (align_pallas real-template form) ----------------
     sr = in_ref[0, 0]
     si = in_ref[0, 1]
@@ -100,8 +100,16 @@ def _chain_kernel(in_ref, w_ref, s_ref, s1_ref, wr_ref, wi_ref, tsel_ref,
     srn = pltpu.roll(sr, shift=n_tiles - 1, axis=0)
     sin = pltpu.roll(si, shift=n_tiles - 1, axis=0)
     n = n_lag_tiles
-    cre = _dot(sr[:n], w_ref[0:128, :]) + _dot(srn[:n], w_ref[128:256, :])
-    cim = _dot(si[:n], w_ref[0:128, :]) + _dot(sin[:n], w_ref[128:256, :])
+    if real_template:
+        cre = _dot(sr[:n], w_ref[0:128, :]) + _dot(srn[:n], w_ref[128:256, :])
+        cim = _dot(si[:n], w_ref[0:128, :]) + _dot(sin[:n], w_ref[128:256, :])
+    else:
+        # generic complex template: decomposed [.., 512] x [512, 256]
+        # product (align_pallas._sync_align_kernel form)
+        c = (_dot(sr[:n], w_ref[0:128, :]) + _dot(srn[:n], w_ref[128:256, :])
+             + _dot(si[:n], w_ref[256:384, :])
+             + _dot(sin[:n], w_ref[384:512, :]))
+        cre, cim = c[:, :128], c[:, 128:]
     power = cre * cre + cim * cim
     tiles_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
     lanes_i = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
@@ -331,17 +339,21 @@ def decode_chain(flat, template, *, n_blocks: int,
     sym_len <= 128, coherent CFO; see module docstring.  The caller
     (phy/rx.py decode_frame) handles eligibility and fallback."""
     from ..ops.xcorr import (_TEMPLATE_STORE, _template_is_real,
-                             _toeplitz_template_real)
+                             _toeplitz_template, _toeplitz_template_real)
     sym = cfg.sym_len
     assert sym <= 128, "fused chain needs sym_len <= 128"
     n_chunks = cfg.n_sync_chunks + n_blocks
     need = n_chunks * sym
     tpl = np.asarray(template)
     k = tpl.shape[-1]
-    assert k <= 128 and _template_is_real(tpl)
+    assert k <= 128
     key = (tpl.tobytes(), k)
     _TEMPLATE_STORE[key] = tpl
-    w = jnp.asarray(_toeplitz_template_real(key, k, "float32"))   # [256, 128]
+    real_template = _template_is_real(tpl)
+    if real_template:
+        w = jnp.asarray(_toeplitz_template_real(key, k, "float32"))  # [256,128]
+    else:
+        w = jnp.asarray(_toeplitz_template(key, k, "float32"))       # [512,256]
 
     if flat.ndim == 3:                       # planar [R, 2, T]
         r, _, t = flat.shape
@@ -397,13 +409,13 @@ def decode_chain(flat, template, *, n_blocks: int,
         n_lag_tiles=n_lag_tiles, lag_bound=lag_bound,
         last_chunk=cfg.n_locking + cfg.n_preamble - 1, n_train=cfg.n_training,
         n_data=n_data, n_pilots=n_pilots, bps=bps, n_words=n_words,
-        profile=profile)
+        real_template=real_template, profile=profile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, 2, tiles, 128), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((256, 128), lambda i: (0, 0)),
+            pl.BlockSpec(tuple(w.shape), lambda i: (0, 0)),
             pl.BlockSpec((slots, k_pad), lambda i: (0, 0)),
             pl.BlockSpec((slots, k_pad), lambda i: (0, 0)),
             pl.BlockSpec((LANE, LANE), lambda i: (0, 0)),

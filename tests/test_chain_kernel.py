@@ -144,6 +144,27 @@ def test_decode_frame_chain_option_and_planar_entry():
     np.testing.assert_array_equal(p4_out, ref)
 
 
+def test_chain_custom_geometry():
+    """The class-phase regrouping must generalize beyond sym_len=80:
+    sym=96 gives gcd(96,128)=32 -> 4 classes x 3-tile span."""
+    from ofdm_tpu.config import FrameConfig
+    c2 = FrameConfig(n_fft=80, cp_len=16, locking_seed=7,
+                     pilot_indices=(3, 20, 50, 70))
+    rng = np.random.default_rng(14)
+    data = rng.integers(0, 256, (3, 100), dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=False, modulation=ot.Modulation.QPSK,
+                   cfg=c2, dtype=jnp.complex64)
+    rx = ot.channel(tx, snr=35.0, key=jax.random.key(2)).astype(jnp.complex64)
+    nb = ot.n_data_blocks(100, ot.Modulation.QPSK, False, c2)
+    need = (c2.n_sync_chunks + nb) * c2.sym_len
+    rx = jnp.pad(rx, ((0, 0), (0, max(0, need + 40 - rx.shape[-1]))))
+    tpl = np.asarray(constants.locking_for(c2)).astype(np.complex64)
+    out = np.asarray(decode_chain(rx, tpl, n_blocks=nb,
+                                  modulation=ot.Modulation.QPSK,
+                                  guard_bands=False, cfg=c2, interpret=True))
+    np.testing.assert_array_equal(out[:, 16:16 + 100], data)
+
+
 def test_chain_diag_offsets_and_cfo():
     rng = np.random.default_rng(10)
     data, rx, nb = _frame_batch(rng, 4, 120, ot.Modulation.QPSK, True,
