@@ -650,6 +650,14 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
                                n_blocks=n_blocks, modulation=modulation,
                                guard_bands=guard_bands, cfg=cfg,
                                search_window=search_window)
+        elif align_impl == "chunked":
+            from ..kernels.chain_pallas import sync_align_chunked
+            chun, slots, m_per = sync_align_chunked(
+                flatp, template.astype(np.complex64), n_chunks=n_chunks,
+                cfg=cfg, search_window=search_window)
+            out = decode_chunked_matrix(
+                chun, n_chunks=n_chunks, m_per=m_per,
+                guard_bands=guard_bands, modulation=modulation, cfg=cfg)
         else:
             from ..kernels.align_pallas import sync_align
             ap = sync_align(flatp, template.astype(np.complex64), need,
@@ -686,3 +694,94 @@ def planar_input_format(device=None):
         device = jax.devices()[0]
     return Format(Layout(major_to_minor=(0, 1, 2, 3)),
                   SingleDeviceSharding(device))
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "m_per", "guard_bands",
+                                   "modulation", "cfg", "cfo_estimator"))
+def decode_chunked_matrix(chun: jnp.ndarray, *, n_chunks: int, m_per: int,
+                          guard_bands: bool = False,
+                          modulation: Modulation = Modulation.BPSK,
+                          cfg: FrameConfig = DEFAULT_CONFIG,
+                          cfo_estimator: str = "coherent") -> jnp.ndarray:
+    """Matrix-derot decode of SLOT-MAJOR chunk planes.
+
+    ``chun``: (re, im) f32[..., slots, 128] planes from kernels.chain_pallas.
+    sync_align_chunked — chunk c at slot (c % n_cls) * m_per + c // n_cls,
+    samples at lanes 0:sym_len, lanes beyond sym_len hold following-stream
+    samples (defined, ignored).  The whole tail runs in slot order (the
+    per-chunk derot phase is computed per slot) and only the FINAL packed
+    byte tensor is gathered into chunk order — so the kernel output is
+    consumed as-is, with none of the contiguous-window route's relayout /
+    chunk-reshape / plane-split copies (round-4 HLO audit).  Returns
+    uint8[..., n_bytes] identical in layout to decode_frame's output.
+    """
+    from ..ops.fft import dft_matmul_select_derot_planar
+    cr, ci = chun
+    sym = cfg.sym_len
+    slots = cr.shape[-2]
+    n_cls = slots // m_per
+    rd = jnp.float32
+    cplx = jax.lax.complex
+
+    def slot_of(c):
+        return (c % n_cls) * m_per + c // n_cls
+    last = cfg.n_locking + cfg.n_preamble - 1
+    f_delta = _cfo_estimate_lr(
+        cplx(cr[..., slot_of(last - 1), :sym], ci[..., slot_of(last - 1), :sym]),
+        cplx(cr[..., slot_of(last), :sym], ci[..., slot_of(last), :sym]),
+        cfg, cfo_estimator)
+
+    def phasor(angles):
+        return jnp.exp(jax.lax.complex(jnp.zeros_like(angles), -angles))
+
+    # channel estimate from the training slots (tiny gather)
+    t0 = cfg.n_locking + cfg.n_preamble
+    tsl = jnp.asarray([slot_of(t0 + i) for i in range(cfg.n_training)])
+    trr = jnp.take(cr, tsl, axis=-2)[..., cfg.cp_len:cfg.cp_len + cfg.n_fft]
+    tri = jnp.take(ci, tsl, axis=-2)[..., cfg.cp_len:cfg.cp_len + cfg.n_fft]
+    tr_raw = cplx(trr, tri)
+    tr_idx = ((jnp.arange(cfg.n_training, dtype=rd) + t0) * sym)[:, None] \
+        + (jnp.arange(cfg.n_fft, dtype=rd) + cfg.cp_len)[None, :]
+    tr = tr_raw * phasor(f_delta[..., None, None] * tr_idx).astype(tr_raw.dtype)
+    training_ref = jnp.asarray(
+        constants.training_signals(cfg.n_fft, cfg.training_seed),
+        dtype=tr_raw.dtype)
+    h_k = jnp.mean(fft(tr) / training_ref, axis=-2)
+
+    if guard_bands:
+        nd = len(cfg.data_indices)
+        sel = tuple(cfg.data_indices) + tuple(cfg.pilot_indices)
+    else:
+        nd = cfg.n_fft
+        sel = tuple(range(cfg.n_fft))
+    prec = jax.lax.Precision.HIGH if guard_bands \
+        else jax.lax.Precision.HIGHEST
+
+    # derot-DFT over ALL slots (order-agnostic; garbage slots discarded at
+    # the end) — the operand is a plain lane slice of the kernel output
+    y = dft_matmul_select_derot_planar(
+        cr[..., cfg.cp_len:cfg.cp_len + cfg.n_fft],
+        ci[..., cfg.cp_len:cfg.cp_len + cfg.n_fft],
+        sel, f_delta, sample_offset=cfg.cp_len, precision=prec)
+    sloti = jnp.arange(slots)
+    c_of = (sloti % m_per) * n_cls + sloti // m_per
+    rot = phasor(f_delta[..., None] * rd(sym) * c_of.astype(rd))
+    y = y * rot[..., :, None].astype(y.dtype)
+
+    eq = y / h_k[..., sel][..., None, :]
+    if guard_bands:
+        phi = jnp.mean(jnp.angle(eq[..., nd:]), axis=-1, keepdims=True)
+        data = eq[..., :nd] * jnp.exp(-1j * phi.astype(eq.real.dtype)
+                                      ).astype(eq.dtype)
+    else:
+        data = eq
+    from .modulation import demodulate_symbols_packed
+    syms = data.reshape(*data.shape[:-2], -1)        # [.., slots * nd]
+    by = demodulate_symbols_packed(syms, modulation)
+    from .modulation import BITS_PER_SYMBOL
+    bpb = nd * BITS_PER_SYMBOL[modulation] // 8
+    by = by.reshape(*by.shape[:-1], slots, bpb)
+    perm = jnp.asarray([slot_of(c) for c in range(cfg.n_sync_chunks,
+                                                  n_chunks)])
+    by = jnp.take(by, perm, axis=-2)                 # chunk order, tiny
+    return by.reshape(*by.shape[:-2], -1)

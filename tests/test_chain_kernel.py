@@ -178,3 +178,24 @@ def test_chain_diag_offsets_and_cfo():
     np.testing.assert_array_equal(np.asarray(diag["offset"]).astype(int),
                                   ref_off)
     assert np.all(np.asarray(diag["f_delta"]) >= 0)
+
+
+def test_chunked_sync_align_and_tail_parity():
+    """sync_align_chunked + decode_chunked_matrix (slot-ordered tail) must
+    byte-match decode_frame on the payload across modulations."""
+    from ofdm_tpu.kernels.chain_pallas import sync_align_chunked
+    from ofdm_tpu.phy.rx import decode_chunked_matrix
+    rng = np.random.default_rng(15)
+    for mod, snr in [(ot.Modulation.QPSK, 35.0), (ot.Modulation.QAM64, 45.0)]:
+        data, rx, nb = _frame_batch(rng, 3, 240, mod, True, snr, key=8)
+        n_chunks = cfg.n_sync_chunks + nb
+        chun, slots, m_per = sync_align_chunked(rx, TPL, n_chunks=n_chunks,
+                                                interpret=True)
+        out = np.asarray(decode_chunked_matrix(
+            chun, n_chunks=n_chunks, m_per=m_per, guard_bands=True,
+            modulation=mod))
+        ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                         modulation=mod))
+        np.testing.assert_array_equal(out[:, :16 + 240], ref[:, :16 + 240])
+        np.testing.assert_array_equal(out[:, 16:16 + 240], data)
+        assert out.shape == ref.shape

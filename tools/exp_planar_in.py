@@ -88,6 +88,20 @@ def main():
             s, n_blocks=nb, guard_bands=True, modulation=mod,
             align_impl="chain")), planar),
     ]
+    # chunked kernel output route: needs k_pad+2 spare tiles
+    from ofdm_tpu.kernels.chain_pallas import _class_geometry
+    _, _, _, k_pad = _class_geometry(cfg.sym_len, cfg.n_sync_chunks + nb)
+    t_pad_c = (k_pad + 2) * 128
+    planar_c = [jax.block_until_ready(jax.jit(
+        lambda s: jnp.pad(s, ((0, 0), (0, 0), (0, t_pad_c - s.shape[-1]))
+                          ).reshape(BATCH, 2, t_pad_c // 128, 128),
+        out_shardings=(ot.planar_input_format()
+                       if jax.default_backend() == "tpu" else None))(p))
+        for p in planar]
+    variants.append(
+        ("planar_chunked", mk(lambda s: ot.decode_frame_planar(
+            s, n_blocks=nb, guard_bands=True, modulation=mod,
+            align_impl="chunked"), pinned=True), planar_c))
     for name, step, ins in variants:
         t0 = time.perf_counter()
         _, out = step(ins[0], jnp.float32(0.0))
