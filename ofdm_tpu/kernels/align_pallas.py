@@ -232,3 +232,27 @@ def sync_align(flat: jnp.ndarray, template, need: int,
     if planar:
         return a
     return jax.lax.complex(a[:, 0], a[:, 1])
+
+
+def pin_rowmajor(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Identity Pallas copy that guarantees a ROW-MAJOR result buffer.
+
+    XLA auto-assigns batch-minor layouts to large planar arrays, and
+    honoring of jit ``out_shardings`` layout pins through the remote
+    compile helper was observed to be nondeterministic; Pallas outputs are
+    row-major by construction, so this is the deterministic way to produce
+    a buffer in ``planar_input_format`` (one extra copy at PREP time).
+    """
+    blk = (1,) + x.shape[1:]
+
+    def k(i_ref, o_ref):
+        o_ref[...] = i_ref[...]
+
+    idx = lambda i: (i,) + (0,) * (x.ndim - 1)
+    return pl.pallas_call(
+        k, grid=(x.shape[0],),
+        in_specs=[pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec(blk, idx),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)

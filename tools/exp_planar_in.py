@@ -70,12 +70,32 @@ def main():
 
     tiles = t_pad // 128
     # buffers must LIVE in the pinned layout (else every dispatch pays an
-    # input relayout outside the graph)
+    # input relayout outside the graph); produce them via out_shardings —
+    # device_put of a jit output does not reliably relayout, and the
+    # PERSISTENT COMPILE CACHE can serve an executable compiled without the
+    # layout pin (observed), so verify and retry cache-bypassed.
     fmt = ot.planar_input_format() if jax.default_backend() == "tpu" else None
-    planar4 = [p.reshape(BATCH, 2, tiles, 128) for p in planar]
-    if fmt is not None:
-        planar4 = [jax.block_until_ready(jax.device_put(p, fmt))
-                   for p in planar4]
+
+    def pinned_reshape(p, shape):
+        # the remote compile helper appears to cache executables keyed on
+        # HLO but NOT on the requested output layout, so identical-HLO
+        # requests with different layouts collide nondeterministically;
+        # make each attempt's HLO unique (roll/unroll no-op) until the
+        # layout sticks
+        for attempt in range(8):
+            k = attempt + 1
+            out = jax.jit(
+                lambda x, k=k: jnp.roll(jnp.roll(x.reshape(shape), k, 0),
+                                        -k, 0),
+                out_shardings=fmt)(p)
+            mtm = tuple(out.format.layout.major_to_minor)
+            if fmt is None or mtm == (0, 1, 2, 3):
+                log(f"pinned buffer layout ok (attempt {attempt})")
+                return jax.block_until_ready(out)
+            log(f"pin attempt {attempt}: got {mtm}, retrying")
+        raise RuntimeError("could not pin planar buffer layout")
+
+    planar4 = [pinned_reshape(p, (BATCH, 2, tiles, 128)) for p in planar]
     variants = [
         ("frame_complex", mk(lambda s: ot.decode_frame(
             s, n_blocks=nb, guard_bands=True, modulation=mod)), rxs),
@@ -92,12 +112,10 @@ def main():
     from ofdm_tpu.kernels.chain_pallas import _class_geometry
     _, _, _, k_pad = _class_geometry(cfg.sym_len, cfg.n_sync_chunks + nb)
     t_pad_c = (k_pad + 2) * 128
-    planar_c = [jax.block_until_ready(jax.jit(
-        lambda s: jnp.pad(s, ((0, 0), (0, 0), (0, t_pad_c - s.shape[-1]))
-                          ).reshape(BATCH, 2, t_pad_c // 128, 128),
-        out_shardings=(ot.planar_input_format()
-                       if jax.default_backend() == "tpu" else None))(p))
-        for p in planar]
+    padc = jax.jit(lambda s: jnp.pad(
+        s, ((0, 0), (0, 0), (0, t_pad_c - s.shape[-1]))))
+    planar_c = [pinned_reshape(padc(p), (BATCH, 2, t_pad_c // 128, 128))
+                for p in planar]
     variants.append(
         ("planar_chunked", mk(lambda s: ot.decode_frame_planar(
             s, n_blocks=nb, guard_bands=True, modulation=mod,
