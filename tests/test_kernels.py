@@ -129,3 +129,12 @@ def test_modulate_bytes_packed_parity():
                                                        dtype=dtype))
                 np.testing.assert_array_equal(
                     got, want, err_msg=f"{scheme} n={n} {dtype}")
+
+
+def test_pin_rowmajor_identity():
+    """The layout-pin Pallas copy must be an exact identity."""
+    from ofdm_tpu.kernels.align_pallas import pin_rowmajor
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((5, 2, 7, 128)).astype(np.float32))
+    y = pin_rowmajor(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
