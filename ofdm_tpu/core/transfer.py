@@ -68,3 +68,40 @@ def to_device(x, dtype=None) -> jax.Array:
         return jax.block_until_ready(jax.jit(jax.lax.complex)(re, im))
 
     return _with_retries(upload, "h2d")
+
+
+def to_device_planar(x, pad_to_tiles: bool = True) -> jax.Array:
+    """Host samples -> PLANAR device stream f32[..., 2, T'] for
+    ``decode_frame_planar``.
+
+    Accepts complex arrays or an (re, im) plane pair (what
+    ``io.capture.IQFile.read_planar`` yields — fc32 captures ARE planes
+    after deinterleave).  The planes are uploaded as float32 and stacked
+    on device; no complex array is ever built, so the decode path stays
+    planar end-to-end (phy/rx.py decode_frame_planar docstring).
+
+    ``pad_to_tiles`` zero-pads T to a multiple of 128 plus one spare tile
+    — the zero-copy contract of the fused kernels' pre-padded planar
+    input (kernels/align_pallas.py).
+    """
+    if isinstance(x, tuple):
+        re, im = (np.asarray(v, np.float32) for v in x)
+    else:
+        arr = np.asarray(x)
+        re = arr.real.astype(np.float32)
+        im = (arr.imag if np.iscomplexobj(arr)
+              else np.zeros_like(arr)).astype(np.float32)
+    t = re.shape[-1]
+    t_pad = ((-(-t // 128)) + 1) * 128 if pad_to_tiles else t
+    if t_pad != t:
+        pad = [(0, 0)] * (re.ndim - 1) + [(0, t_pad - t)]
+        re = np.pad(re, pad)
+        im = np.pad(im, pad)
+
+    def upload():
+        dre = jnp.asarray(re)
+        dim = jnp.asarray(im)
+        return jax.block_until_ready(
+            jax.jit(lambda a, b: jnp.stack([a, b], axis=-2))(dre, dim))
+
+    return _with_retries(upload, "h2d")

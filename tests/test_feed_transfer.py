@@ -62,3 +62,31 @@ class TestFeed:
         # frames raise total power well above the noise floor
         for b in bufs:
             assert np.abs(b).max() > 0.5
+
+
+def test_to_device_planar_decode():
+    """Planar upload (complex or plane-pair input) feeds decode_frame_planar
+    byte-exactly — the end-to-end planar serving path with no complex array
+    anywhere between capture and bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    import ofdm_tpu as ot
+    from ofdm_tpu.core.transfer import to_device_planar
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (2, 120), dtype=np.uint8)
+    tx = ot.encode(data, guard_bands=True, modulation=ot.Modulation.QPSK,
+                   dtype=jnp.complex64)
+    rx = np.asarray(ot.channel(tx, snr=35.0, key=jax.random.key(1)))
+    nb = ot.n_data_blocks(120, ot.Modulation.QPSK, True)
+    p = to_device_planar(rx)
+    assert p.dtype == jnp.float32 and p.shape[-2] == 2
+    assert p.shape[-1] % 128 == 0
+    out = np.asarray(ot.decode_frame_planar(
+        p, n_blocks=nb, guard_bands=True, modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(out[:, 16:16 + 120], data)
+    p2 = to_device_planar((rx.real.astype(np.float32),
+                           rx.imag.astype(np.float32)))
+    out2 = np.asarray(ot.decode_frame_planar(
+        p2, n_blocks=nb, guard_bands=True, modulation=ot.Modulation.QPSK))
+    np.testing.assert_array_equal(out, out2)
