@@ -73,11 +73,6 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _dot_hi(a, b):
-    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
-
-
 def _dot_t(a, b):
     """a[K, M] x b[N, K] -> [M, N] (both operands 'transposed'): contracts
     a's sublane dim with b's lane dim so the OUTPUT lane dim is b's sublane
