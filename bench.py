@@ -401,6 +401,17 @@ def main():
     import ofdm_tpu as ot
 
     head = bench_headline(jax, jnp, ot)
+    # emit the headline IMMEDIATELY (partial record): if a runner kills the
+    # process during the slower config-4/5 measurements below, this line is
+    # still on stdout; the final full JSON (last line) supersedes it
+    print(json.dumps({
+        "metric": "samples/s/chip (64QAM demod)",
+        "value": head["value"],
+        "unit": "samples/s",
+        "vs_baseline": head["value"] / BASELINE_PER_CHIP,
+        "detail": {**head["detail"], "partial": True,
+                   "backend": jax.default_backend()},
+    }), flush=True)
     configs = {}
     for name, fn in (("hamming_streaming", bench_hamming),
                      ("serving", bench_serving)):
