@@ -139,6 +139,47 @@ def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
     return _fused_defec(out, payload_len, n_bytes, fec)
 
 
+@_partial(jax.jit, static_argnames=("spacing", "need", "cfg"))
+def _first_sync_planar(sp, *, spacing: int, need: int, cfg: FrameConfig):
+    """_first_sync for a planar stream f32[2, T]: only the scan prefix is
+    assembled as complex (spacing + sym_len samples — tiny)."""
+    head = min(sp.shape[-1], spacing + cfg.sym_len)
+    s = jax.lax.complex(sp[0, :head], sp[1, :head])
+    s = jnp.pad(s, (0, max(0, spacing + cfg.sym_len - head)))
+    from .. import constants
+    from ..ops.xcorr import sliding_correlation_matmul
+    template = constants.locking_for(cfg)
+    c = sliding_correlation_matmul(s, template)
+    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+    return jnp.argmax(power[..., :spacing], axis=-1) - 1
+
+
+@_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
+                                    "flen", "guard_bands", "modulation", "cfg",
+                                    "payload_len", "n_bytes", "fec"))
+def _extract_and_decode_presync_planar(sp, first, *, n_frames: int,
+                                       spacing: int, need: int, nb: int,
+                                       flen: int, guard_bands: bool,
+                                       modulation: Modulation,
+                                       cfg: FrameConfig, payload_len: int = 0,
+                                       n_bytes: int = 0,
+                                       fec: str | None = None):
+    """_extract_and_decode_presync on a PLANAR stream f32[2, T]: planar row
+    extraction feeds decode_planar_matrix directly — no complex stream or
+    aligned intermediate exists anywhere in the graph."""
+    from .rx import decode_planar_matrix
+    sp = jnp.pad(sp, ((0, 0), (0, max(0, need - sp.shape[-1]) + cfg.sym_len)))
+    rows = jax.lax.dynamic_slice_in_dim(
+        sp, first, n_frames * spacing, axis=1)
+    rows = rows.reshape(2, n_frames, spacing)[:, :, :flen]
+    rows = jnp.swapaxes(rows, 0, 1)                  # [n_frames, 2, flen]
+    out, _ = decode_planar_matrix(rows, n_chunks=cfg.n_sync_chunks + nb,
+                                  guard_bands=guard_bands,
+                                  modulation=modulation, cfg=cfg,
+                                  cfo_estimator="coherent")
+    return _fused_defec(out, payload_len, n_bytes, fec)
+
+
 def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                    payload_len: int, guard_bands: bool = True,
                    modulation: Modulation = Modulation.QPSK,
@@ -147,8 +188,11 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                    cfg: FrameConfig = DEFAULT_CONFIG):
     """Decode ``n_frames`` frames at fixed ``spacing`` from one stream.
 
-    samples: complex[T]; the first frame may start anywhere within the first
-    ``spacing`` samples (a global sync resolves it).  Returns
+    samples: complex[T], or a PLANAR f32[2, T] stream (e.g. from
+    core.transfer.to_device_planar) — the presync extractor then runs fully
+    planar through decode_planar_matrix with no complex intermediate; the
+    first frame may start anywhere within the first ``spacing`` samples (a
+    global sync resolves it).  Returns
     (payloads [n_frames, data_len or payload_len], ok flags).
 
     ``resync=True`` (default) re-syncs every frame within a one-symbol window
@@ -162,15 +206,31 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     assert spacing >= flen, f"spacing {spacing} < frame length {flen}"
     need = n_frames * spacing + cfg.sym_len
 
+    # PLANAR stream input (f32[2, T], e.g. core.transfer.to_device_planar):
+    # the presync extractor runs fully planar (decode_planar_matrix) — no
+    # complex stream or aligned intermediate in the graph at all.
+    planar = (samples.ndim == 2 and samples.shape[0] == 2
+              and not jnp.iscomplexobj(samples))
+
     # One sync for the first frame, then slice periodically.  The sync
     # result STAYS ON DEVICE: pulling it to host (int(...)) would insert a
     # blocking d2h round trip between the two dispatches — ~25 ms on
     # tunneled runtimes, and a pipeline bubble everywhere — so the whole
     # buffer decodes with zero host synchronization until the output fetch.
-    first = jnp.maximum(
-        _first_sync(samples, spacing=spacing, need=need, cfg=cfg),
-        0).astype(jnp.int32)
-    fn = _extract_and_decode if resync else _extract_and_decode_presync
+    if planar:
+        first = jnp.maximum(
+            _first_sync_planar(samples, spacing=spacing, need=need, cfg=cfg),
+            0).astype(jnp.int32)
+        if resync:
+            samples = jax.lax.complex(samples[0], samples[1])
+            fn = _extract_and_decode
+        else:
+            fn = _extract_and_decode_presync_planar
+    else:
+        first = jnp.maximum(
+            _first_sync(samples, spacing=spacing, need=need, cfg=cfg),
+            0).astype(jnp.int32)
+        fn = _extract_and_decode if resync else _extract_and_decode_presync
     n_bytes = data_len if data_len is not None else payload_len
     if fec == "hamming":
         # Hamming decode (bit math) fuses INTO the decode graph: one

@@ -299,3 +299,29 @@ def test_encode_hamming_fused_matches_two_stage():
     two_stage = np.asarray(ot.encode(coded, guard_bands=True,
                                      modulation=ot.Modulation.QPSK))
     np.testing.assert_array_equal(fused, two_stage)
+
+
+def test_decode_regular_planar_stream(frames):
+    """decode_regular with a PLANAR f32[2, T] stream must match the complex
+    path byte-for-byte in both presync and resync modes, including the
+    fused Hamming tail (the end-to-end planar serving route)."""
+    datas, tx = frames
+    spacing = tx.shape[1] + 160
+    stream = np.zeros(4 * spacing + 100, np.complex128)
+    for i in range(4):
+        stream[i * spacing + 37: i * spacing + 37 + tx.shape[1]] = tx[i]
+    noisy = np.asarray(ot.channel(jnp.asarray(stream), snr=25.0,
+                                  key=jax.random.key(7)))
+    planar = jnp.asarray(np.stack([noisy.real, noisy.imag]).astype(np.float32))
+    cplx = jnp.asarray(noisy.astype(np.complex64))
+    kw = dict(n_frames=4, spacing=spacing,
+              payload_len=coded_len(96, "hamming"),
+              modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    for resync in (False, True):
+        pc, okc = decode_regular(cplx, resync=resync, **kw)
+        pp, okp = decode_regular(planar, resync=resync, **kw)
+        np.testing.assert_array_equal(pp, pc)
+        np.testing.assert_array_equal(okp, okc)
+        assert okp.all()
+        for i in range(4):
+            np.testing.assert_array_equal(pp[i], datas[i])
