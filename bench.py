@@ -150,18 +150,18 @@ def bench_headline(jax, jnp, ot):
         prxs = [pin(rx) for rx in rxs]
 
         def pstep_fn(s, carry):
-            # the chunked kernel-output route: slot-major chunk planes,
-            # 421 MB/step of entry writes vs 775 complex (HLO audit)
+            # pinned planar input + the fused sync+align route — the
+            # best-measured configuration on-chip (the chunked kernel
+            # output saves more HBO writes structurally but its extra
+            # per-program work loses in dispatch-floored windows)
             out = ot.decode_frame_planar(s, n_blocks=nb, guard_bands=True,
-                                         modulation=mod,
-                                         align_impl="chunked")
+                                         modulation=mod)
             return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
 
         pstep = jax.jit(pstep_fn, in_shardings=shardings) if shardings \
             else jax.jit(pstep_fn)
         pout = np.asarray(jax.jit(lambda s: ot.decode_frame_planar(
-            s, n_blocks=nb, guard_bands=True, modulation=mod,
-            align_impl="chunked"))(prxs[0]))
+            s, n_blocks=nb, guard_bands=True, modulation=mod))(prxs[0]))
         perrs = int(np.count_nonzero(pout[:, 16:16 + PAYLOAD] != datas[0]))
         assert perrs == 0, f"planar chunked route: {perrs} byte errors"
         pc = [pstep(prxs[0], jnp.float32(0.0))]

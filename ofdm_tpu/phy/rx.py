@@ -106,6 +106,12 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
 # outweigh a 37 MB/step traffic reduction on an HBM-bound chain.
 _DEROT_AUTO = "matrix"
 
+# Production lowering of the decode_frame fused TPU route: "planar" = the
+# fused sync+align kernel + planar matrix tail; "chunked" = slot-major
+# chunk-plane kernel output + slot-ordered tail (fewer layout copies —
+# round-4 HLO audit; flipped after on-chip byte + timing validation).
+_FUSED_AUTO = "planar"
+
 
 def _derot_matrix_core(cp_re, cp_im, *, n_chunks: int, guard_bands: bool,
                        modulation: Modulation, cfg: FrameConfig,
@@ -561,6 +567,24 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
     derot = derot_impl
     if derot == "auto":
         derot = "stream" if demod in ("pallas", "interpret") else _DEROT_AUTO
+    if impl == "chunked" or (impl == "fused" and derot == "matrix"
+                             and demod == "xla" and _FUSED_AUTO == "chunked"
+                             and cfo_estimator == "coherent"
+                             and dft_precision is None):
+        # fused sync+align emitting SLOT-MAJOR chunk planes + the
+        # slot-ordered matrix-derot tail: the contiguous-window route's
+        # output relayout / chunk reshape / plane split copies never exist
+        # (round-4 HLO audit; see kernels/chain_pallas.sync_align_chunked)
+        from ..kernels.chain_pallas import sync_align_chunked
+        chun, slots, m_per = sync_align_chunked(
+            flat, template.astype(np.complex64), n_chunks=n_chunks,
+            cfg=cfg, search_window=search_window,
+            interpret=(jax.devices()[0].platform != "tpu"))
+        out = decode_chunked_matrix(
+            chun, n_chunks=n_chunks, m_per=m_per, guard_bands=guard_bands,
+            modulation=modulation, cfg=cfg, cfo_estimator=cfo_estimator)
+        out = out.reshape(*batch_shape, out.shape[-1])
+        return out[0] if squeeze else out
     if impl == "fused":
         # one VMEM-resident Pallas pass: correlation matmul + argmax +
         # aligned window write — the stream is read from HBM exactly once

@@ -199,3 +199,18 @@ def test_chunked_sync_align_and_tail_parity():
         np.testing.assert_array_equal(out[:, :16 + 240], ref[:, :16 + 240])
         np.testing.assert_array_equal(out[:, 16:16 + 240], data)
         assert out.shape == ref.shape
+
+
+def test_decode_frame_chunked_option():
+    """decode_frame(align_impl='chunked') routes sync_align_chunked + the
+    slot-ordered tail (interpret off-TPU) and matches the default bytes."""
+    rng = np.random.default_rng(16)
+    data, rx, nb = _frame_batch(rng, 2, 120, ot.Modulation.QAM16, True,
+                                35.0, key=10)
+    out = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QAM16,
+                                     align_impl="chunked"))
+    ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QAM16))
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(out[:, 16:16 + 120], data)
