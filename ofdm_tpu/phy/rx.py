@@ -106,11 +106,21 @@ def _equalize_and_extract(eq: jnp.ndarray, guard_bands: bool, cfg: FrameConfig):
 # outweigh a 37 MB/step traffic reduction on an HBM-bound chain.
 _DEROT_AUTO = "matrix"
 
-# Production lowering of the decode_frame fused TPU route: "planar" = the
-# fused sync+align kernel + planar matrix tail; "chunked" = slot-major
-# chunk-plane kernel output + slot-ordered tail (fewer layout copies —
-# round-4 HLO audit; flipped after on-chip byte + timing validation).
-_FUSED_AUTO = "planar"
+# Production lowering of the decode_frame fused TPU route:
+#   "complex" = sync_align's complex64 output into decode_aligned's matrix
+#               tail (the round-3 production composition);
+#   "planar"  = the kernel's f32 planes into decode_planar_matrix;
+#   "chunked" = slot-major chunk-plane kernel output + slot-ordered tail.
+# "complex" is the default on MEASURED evidence (round-4 roofline +
+# same-window A/Bs): despite near-identical HLO entry-write totals, the
+# planar handoff composition measured ~0.1-0.2 ms/step slower than the
+# complex one at the headline shape (XLA pipelines the complex composition
+# better), and the chunked variant's extra per-program regroup work loses
+# in dispatch-floored windows.  The planar/chunked routes remain the
+# production path for PLANAR INPUT streams (decode_frame_planar), where
+# the complex composition isn't available without building the complex
+# stream first.
+_FUSED_AUTO = "complex"
 
 
 def _derot_matrix_core(cp_re, cp_im, *, n_chunks: int, guard_bands: bool,
@@ -558,11 +568,8 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                            interpret=(jax.devices()[0].platform != "tpu"))
         out = out.reshape(*batch_shape, out.shape[-1])
         return out[0] if squeeze else out
-    # Resolve the tail lowering up front: when the fused Pallas kernel feeds
-    # the matrix-derot XLA tail (the TPU production default), hand the
-    # kernel's native f32 planes straight to decode_planar_matrix — the
-    # complex64 aligned stream (one extra full-stream HBM write + re-read,
-    # VERDICT r3) is never materialized.
+    # Resolve the tail lowering up front (the fused-route variant selection
+    # below depends on it; see _FUSED_AUTO for the measured rationale).
     demod = "xla" if demod_impl == "auto" else demod_impl
     derot = derot_impl
     if derot == "auto":
@@ -585,13 +592,14 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
             modulation=modulation, cfg=cfg, cfo_estimator=cfo_estimator)
         out = out.reshape(*batch_shape, out.shape[-1])
         return out[0] if squeeze else out
-    if impl == "fused":
+    if impl in ("fused", "fused_planar"):
         # one VMEM-resident Pallas pass: correlation matmul + argmax +
         # aligned window write — the stream is read from HBM exactly once
         # (kernels/align_pallas.py sync_align); search_window bounds the
         # in-kernel lag scan (streaming reacquisition)
         from ..kernels.align_pallas import sync_align
-        if derot == "matrix" and demod == "xla":
+        if derot == "matrix" and demod == "xla" \
+                and (impl == "fused_planar" or _FUSED_AUTO == "planar"):
             planes = sync_align(flat, template.astype(np.complex64), need,
                                 search_window=search_window, planar=True)
             planes = planes.reshape(*batch_shape, 2, need)
@@ -682,7 +690,7 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
             out = decode_chunked_matrix(
                 chun, n_chunks=n_chunks, m_per=m_per,
                 guard_bands=guard_bands, modulation=modulation, cfg=cfg)
-        else:
+        elif align_impl == "fused_planar":
             from ..kernels.align_pallas import sync_align
             ap = sync_align(flatp, template.astype(np.complex64), need,
                             search_window=search_window, planar=True)
@@ -690,6 +698,18 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
                 ap.reshape(-1, 2, need), n_chunks=n_chunks,
                 guard_bands=guard_bands, modulation=modulation, cfg=cfg,
                 cfo_estimator="coherent")
+        else:
+            # planar INPUT + the complex handoff composition: the kernel
+            # consumes the planes zero-copy and emits complex64 into
+            # decode_aligned's matrix tail — the composition XLA pipelines
+            # best (round-4 roofline finding, see _FUSED_AUTO)
+            from ..kernels.align_pallas import sync_align
+            aligned = sync_align(flatp, template.astype(np.complex64), need,
+                                 search_window=search_window)
+            out, _ = decode_aligned(
+                aligned, n_chunks=n_chunks, guard_bands=guard_bands,
+                modulation=modulation, cfg=cfg, cfo_estimator="coherent",
+                derot_impl="matrix")
         out = out.reshape(*batch_shape, out.shape[-1])
     else:
         cplx = jax.lax.complex(planes[..., 0, :], planes[..., 1, :])
