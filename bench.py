@@ -137,9 +137,13 @@ def bench_headline(jax, jnp, ot):
             # requests with different layouts collide nondeterministically
             return jnp.roll(jnp.roll(p, k, 0), -k, 0) if k else p
 
+        uniq = [0]   # GLOBAL across buffers: per-call counters reuse the
+                     # same HLO keys and can exhaust once poisoned
+
         def pin(rx):
-            for attempt in range(8):
-                f = jax.jit(lambda s, k=attempt: prep_fn(s, k),
+            for _ in range(16):
+                uniq[0] += 1
+                f = jax.jit(lambda s, k=uniq[0]: prep_fn(s, k),
                             out_shardings=shardings[0] if shardings else None)
                 out = f(rx)
                 if not shardings or tuple(

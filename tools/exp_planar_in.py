@@ -76,23 +76,27 @@ def main():
     # layout pin (observed), so verify and retry cache-bypassed.
     fmt = ot.planar_input_format() if jax.default_backend() == "tpu" else None
 
+    # the remote compile helper appears to cache executables keyed on HLO
+    # but NOT on the requested output layout, so identical-HLO requests
+    # with different layouts collide nondeterministically; make each
+    # attempt's HLO unique (roll/unroll no-op with a GLOBAL counter — a
+    # per-call counter reuses keys across buffers and can exhaust fresh
+    # ones once they are poisoned) until the layout sticks
+    uniq = [0]
+
     def pinned_reshape(p, shape):
-        # the remote compile helper appears to cache executables keyed on
-        # HLO but NOT on the requested output layout, so identical-HLO
-        # requests with different layouts collide nondeterministically;
-        # make each attempt's HLO unique (roll/unroll no-op) until the
-        # layout sticks
-        for attempt in range(8):
-            k = attempt + 1
+        for _ in range(16):
+            uniq[0] += 1
+            k = uniq[0]
             out = jax.jit(
                 lambda x, k=k: jnp.roll(jnp.roll(x.reshape(shape), k, 0),
                                         -k, 0),
                 out_shardings=fmt)(p)
             mtm = tuple(out.format.layout.major_to_minor)
             if fmt is None or mtm == (0, 1, 2, 3):
-                log(f"pinned buffer layout ok (attempt {attempt})")
+                log(f"pinned buffer layout ok (uniq {k})")
                 return jax.block_until_ready(out)
-            log(f"pin attempt {attempt}: got {mtm}, retrying")
+            log(f"pin uniq {k}: got {mtm}, retrying")
         raise RuntimeError("could not pin planar buffer layout")
 
     planar4 = [pinned_reshape(p, (BATCH, 2, tiles, 128)) for p in planar]
