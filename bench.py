@@ -167,7 +167,7 @@ def bench_headline(jax, jnp, ot):
         pout = np.asarray(jax.jit(lambda s: ot.decode_frame_planar(
             s, n_blocks=nb, guard_bands=True, modulation=mod))(prxs[0]))
         perrs = int(np.count_nonzero(pout[:, 16:16 + PAYLOAD] != datas[0]))
-        assert perrs == 0, f"planar chunked route: {perrs} byte errors"
+        assert perrs == 0, f"planar route: {perrs} byte errors"
         pc = [pstep(prxs[0], jnp.float32(0.0))]
         float(pc[0])
 
