@@ -535,8 +535,18 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
         const __mmask64 root = _mm512_cmpeq_epi8_mask(val, zero);
         if (!root) continue;
         errcnt = _mm512_mask_add_epi8(errcnt, root, errcnt, one);
-        if (!(root & ~fail)) continue;   // only failed lanes root here —
-                                         // their corrections are discarded
+        // early exit: deg(C) <= L per lane, so a lane can have at most L
+        // roots — once every non-failed lane has found all of them (errcnt
+        // == L; failed lanes' roots are discarded anyway) the remaining
+        // sweep cannot change any output.  Checked only on root hits
+        // (<= t per tile), so the test is ~free; it pays off on
+        // low-density tiles where the last root sits well before j=254.
+        const __mmask64 pending =
+            ~fail & _mm512_cmplt_epu8_mask(errcnt, L);
+        if (!(root & ~fail)) {           // only failed lanes root here —
+            if (!pending) break;         // their corrections are discarded
+            continue;
+        }
         __m512i oddsum = zero, num = W[0];
         for (int i = 1; i <= lmax; i += 2) oddsum = _mm512_xor_si512(oddsum, q[i]);
         for (int i = 1; i < wmax; ++i)
@@ -547,6 +557,7 @@ void correct_batch64(Tile& tile, const uint8_t synd_soa[kEcc][64], int n,
         __m512i col = _mm512_load_si512(tile.cols[kN - 1 - j]);
         col = _mm512_xor_si512(col, _mm512_maskz_mov_epi8(apply, mag));
         _mm512_store_si512(tile.cols[kN - 1 - j], col);
+        if (!(~fail & _mm512_cmplt_epu8_mask(errcnt, L))) break;
     }
     fail |= _mm512_cmpneq_epi8_mask(errcnt, L);
     for (int b = 0; b < n; ++b)

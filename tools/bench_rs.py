@@ -13,12 +13,17 @@ decode to keep up (SURVEY.md section 7 "decide with a benchmark"; reference
 RS streaming at /root/reference/src/utils.rs:97-180).
 
 Run: python tools/bench_rs.py [--n-blocks 8192] [--reps 5]
-Results recorded in docs/BENCHMARKS.md.
+     python tools/bench_rs.py --json BENCH_RS.json   # committed artifact:
+         thread-scaling curve + mixed-error-density table + the worst-case
+         extrapolation formula (VERDICT r4 #5)
+Results recorded in docs/BENCHMARKS.md and BENCH_RS.json.
 """
 
 import argparse
 import ctypes
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -44,12 +49,116 @@ def u8p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _corrupt_tiles(coded, frac_tiles, n_err, rng):
+    """Corrupt ``n_err`` symbols/block in the first ``frac_tiles`` fraction of
+    64-block SoA tiles (the codec's work unit); the rest stay clean."""
+    c = coded.copy()
+    nb = c.shape[0]
+    n_tiles = (nb + 63) // 64
+    n_bad = round(n_tiles * frac_tiles)
+    for ti in range(n_bad):
+        for i in range(ti * 64, min((ti + 1) * 64, nb)):
+            pos = rng.choice(rs.N, n_err, replace=False)
+            c[i, pos] ^= rng.integers(1, 256, n_err, dtype=np.uint8)
+    return c
+
+
+def worker_decode_rate(nb, reps, frac_tiles, n_err):
+    """Worst/mixed-case decode GB/s at the current OMP_NUM_THREADS."""
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, (nb, rs.K), dtype=np.uint8)
+    coded = rs.encode_blocks(data)
+    bufs = [_corrupt_tiles(coded, frac_tiles, n_err, rng)
+            for _ in range(reps)]
+    ok = np.empty(nb, np.uint8)
+    it = iter(bufs)
+    t = timed(lambda: rs._LIB.rs_decode_blocks(u8p(next(it)), nb, u8p(ok)),
+              reps)
+    assert ok.all()
+    # the last-timed buffer was corrected in place: verify bytes
+    assert np.array_equal(bufs[-1][:, :rs.K], data), "corrected bytes wrong"
+    return nb * rs.N / t / 1e9
+
+
+def _subprocess_rate(threads, nb, reps, frac_tiles, n_err, tries=2):
+    """Measure in a fresh process so OMP_NUM_THREADS takes effect.  Best of
+    ``tries`` processes: across-process variance on small shared hosts is
+    ~±20%, larger than any effect being measured."""
+    env = dict(os.environ, OMP_NUM_THREADS=str(threads))
+    best = 0.0
+    for _ in range(tries):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--n-blocks", str(nb), "--reps", str(reps),
+             "--frac-tiles", str(frac_tiles), "--n-err", str(n_err)],
+            env=env, capture_output=True, text=True, timeout=600, check=True)
+        best = max(best, float(out.stdout.strip().splitlines()[-1]))
+    return best
+
+
+def emit_json(path, nb, reps):
+    """The committed evidence artifact for the RS worst-case claim."""
+    ncpu = os.cpu_count()
+    threads = sorted({1, 2, min(4, ncpu), ncpu})
+    threads = [t for t in threads if t <= ncpu]
+    scaling = {str(t): _subprocess_rate(t, nb, reps, 1.0, 16)
+               for t in threads}
+    density = {f"{int(f * 100)}pct_tiles_errored":
+               _subprocess_rate(ncpu, nb, reps, f, 16)
+               for f in (0.0, 0.25, 0.5, 1.0)}
+    r1, r2 = scaling["1"], scaling.get("2", scaling["1"])
+    eff = r2 / (2 * r1) if "2" in scaling else 1.0
+    doc = {
+        "codec": "RS(255,223) GFNI 64-block SoA tiles (native/rs_codec.cpp)",
+        "host_cpus": ncpu,
+        "omp_tile_parallel": True,
+        "n_blocks": nb,
+        "reps_best_of": reps,
+        "worst_case_decode_GBps_by_threads": scaling,
+        "mixed_density_decode_GBps_16err_per_block": density,
+        "thread_scaling_efficiency_1_to_2": eff,
+        "extrapolation": {
+            "formula": "rate(T) ~= rate(1) * T * eff, T <= n_tiles; "
+                       f"measured rate(1)={r1:.3f} GB/s, eff={eff:.3f} "
+                       "(tiles are independent, OMP static-scheduled; "
+                       "eff is the measured 1->2 thread efficiency on "
+                       "this host)",
+            "threads_needed_for_2p5_GBps": (
+                int(np.ceil(2.5 / (r1 * eff)))),
+            "note": "worst case = EVERY block carries 16 symbol errors "
+                    "(t=16 is the correction limit); real streams at the "
+                    "serving operating point (SNR 45-55) decode on the "
+                    "all-clean syndrome fast path at "
+                    f"{density['0pct_tiles_errored']:.2f} GB/s on this host",
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(json.dumps(doc, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-blocks", type=int, default=8192)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--json", type=str, default=None,
+                    help="write the scaling/density evidence artifact here")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--frac-tiles", type=float, default=1.0,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--n-err", type=int, default=16, help=argparse.SUPPRESS)
     args = ap.parse_args()
     nb, reps = args.n_blocks, args.reps
+
+    if args.worker:
+        assert rs._LIB is not None, "build native/ first: make -C native"
+        print(worker_decode_rate(nb, reps, args.frac_tiles, args.n_err))
+        return
+    if args.json:
+        assert rs._LIB is not None, "build native/ first: make -C native"
+        emit_json(args.json, nb, reps)
+        return
 
     assert rs._LIB is not None, "build native/ first: make -C native"
     rng = np.random.default_rng(0)
