@@ -144,6 +144,15 @@ def main():
                 "est_comm_s": t_comm,
                 "est_weak_scaling_efficiency":
                     comp / (comp + t_comm) if comp else None,
+                "note": ("comm-volume-only estimate: assumes every chip "
+                         "dispatches at its healthy-phase rate.  The "
+                         "attached chip shows hour-long DEGRADED phases "
+                         "with noisy multi-ms per-dispatch overhead "
+                         "(tools/exp_degraded.py) and per-process "
+                         "placement variance; one slow chip gates a "
+                         "synchronous collective step, so fleet "
+                         "efficiency depends on straggler mitigation, "
+                         "not on these comm bytes"),
             }
     print(json.dumps(out, indent=2))
 
