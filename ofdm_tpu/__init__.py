@@ -13,7 +13,8 @@ from .obs.analysis import Analysis
 from .phy.channel import channel
 from .phy.modulation import Modulation
 from .phy.rx import (DecodeError, decode, decode_aligned, decode_frame,
-                     decode_frame_planar, planar_input_format, sync_offset)
+                     decode_frame_planar, planar_input_format,
+                     planar_stream_format, sync_offset)
 from .phy.streaming import decode_burst, decode_continuous, decode_regular
 from .phy.tx import (encode, encode_hamming, encode_payload, frame_len,
                      n_data_blocks)
@@ -34,6 +35,7 @@ __all__ = [
     "decode_frame",
     "decode_frame_planar",
     "planar_input_format",
+    "planar_stream_format",
     "decode_regular",
     "encode",
     "encode_hamming",

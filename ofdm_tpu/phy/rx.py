@@ -740,6 +740,22 @@ def planar_input_format(device=None):
                   SingleDeviceSharding(device))
 
 
+def planar_stream_format(device=None):
+    """``planar_input_format`` for a pre-tiled STREAM argument: a single
+    continuous capture as f32[2, tiles, 128] (tiles = ceil(T/128), row-major
+    pinned) — the zero-copy upload shape for ``streaming.decode_regular``
+    and the serving extractors, which merge the tile split as a free
+    bitcast.  Pin via the same attempt loop as the batch format (bench.py
+    ``pin``): the remote compile helper caches executables by HLO and may
+    ignore the requested layout nondeterministically."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+    if device is None:
+        device = jax.devices()[0]
+    return Format(Layout(major_to_minor=(0, 1, 2)),
+                  SingleDeviceSharding(device))
+
+
 @partial(jax.jit, static_argnames=("n_chunks", "m_per", "guard_bands",
                                    "modulation", "cfg", "cfo_estimator"))
 def decode_chunked_matrix(chun: jnp.ndarray, *, n_chunks: int, m_per: int,

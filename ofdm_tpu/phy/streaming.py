@@ -156,27 +156,73 @@ def _first_sync_planar(sp, *, spacing: int, need: int, cfg: FrameConfig):
 
 @_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
                                     "flen", "guard_bands", "modulation", "cfg",
-                                    "payload_len", "n_bytes", "fec"))
+                                    "payload_len", "n_bytes", "fec",
+                                    "handoff"))
 def _extract_and_decode_presync_planar(sp, first, *, n_frames: int,
                                        spacing: int, need: int, nb: int,
                                        flen: int, guard_bands: bool,
                                        modulation: Modulation,
                                        cfg: FrameConfig, payload_len: int = 0,
                                        n_bytes: int = 0,
-                                       fec: str | None = None):
-    """_extract_and_decode_presync on a PLANAR stream f32[2, T]: planar row
-    extraction feeds decode_planar_matrix directly — no complex stream or
-    aligned intermediate exists anywhere in the graph."""
-    from .rx import decode_planar_matrix
+                                       fec: str | None = None,
+                                       handoff: str = "planar"):
+    """_extract_and_decode_presync on a PLANAR stream f32[2, T].
+
+    ``handoff`` picks the intermediate between row extraction and the
+    matrix-derot tail (both end in the same _derot_matrix_core math):
+
+    - "planar": planar rows feed decode_planar_matrix directly — no complex
+      stream or aligned intermediate anywhere in the graph; the row
+      extraction pays a [2, R, flen] -> [R, 2, flen] transpose.
+    - "complex": rows assemble to complex64 and run decode_aligned's matrix
+      tail — the composition that won the round-4 headline A/B (the planar
+      kernel handoff measured ~0.15 ms slower at equal HLO write totals);
+      whether that carries over to the XLA-only streaming extraction is an
+      on-chip A/B question (tools/exp_r5_stream.py), not an audit one.
+    """
     sp = jnp.pad(sp, ((0, 0), (0, max(0, need - sp.shape[-1]) + cfg.sym_len)))
     rows = jax.lax.dynamic_slice_in_dim(
         sp, first, n_frames * spacing, axis=1)
     rows = rows.reshape(2, n_frames, spacing)[:, :, :flen]
-    rows = jnp.swapaxes(rows, 0, 1)                  # [n_frames, 2, flen]
-    out, _ = decode_planar_matrix(rows, n_chunks=cfg.n_sync_chunks + nb,
-                                  guard_bands=guard_bands,
-                                  modulation=modulation, cfg=cfg,
-                                  cfo_estimator="coherent")
+    if handoff == "complex":
+        from .rx import decode_aligned
+        cplx = jax.lax.complex(rows[0], rows[1])     # [n_frames, flen]
+        out, _ = decode_aligned(cplx, n_chunks=cfg.n_sync_chunks + nb,
+                                guard_bands=guard_bands,
+                                modulation=modulation, cfg=cfg,
+                                cfo_estimator="coherent",
+                                derot_impl="matrix")
+    else:
+        from .rx import decode_planar_matrix
+        prows = jnp.swapaxes(rows, 0, 1)             # [n_frames, 2, flen]
+        out, _ = decode_planar_matrix(prows, n_chunks=cfg.n_sync_chunks + nb,
+                                      guard_bands=guard_bands,
+                                      modulation=modulation, cfg=cfg,
+                                      cfo_estimator="coherent")
+    return _fused_defec(out, payload_len, n_bytes, fec)
+
+
+@_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
+                                    "flen", "guard_bands", "modulation", "cfg",
+                                    "payload_len", "n_bytes", "fec"))
+def _extract_and_decode_planar(sp, first, *, n_frames: int, spacing: int,
+                               need: int, nb: int, flen: int,
+                               guard_bands: bool, modulation: Modulation,
+                               cfg: FrameConfig, payload_len: int = 0,
+                               n_bytes: int = 0, fec: str | None = None):
+    """_extract_and_decode (per-row resync within a one-symbol window) on a
+    PLANAR stream f32[2, T]: planar rows feed decode_frame_planar, whose
+    fused sync+align kernel consumes the planes directly — the full stream
+    is never assembled as complex64 (the complex resync path pays that
+    assembly copy before slicing)."""
+    from .rx import decode_frame_planar
+    sp = jnp.pad(sp, ((0, 0), (0, max(0, need - sp.shape[-1]) + cfg.sym_len)))
+    rows = jax.lax.dynamic_slice_in_dim(
+        sp, first, n_frames * spacing, axis=1)
+    rows = jnp.swapaxes(rows.reshape(2, n_frames, spacing), 0, 1)[..., :flen]
+    out = decode_frame_planar(rows, n_blocks=nb, guard_bands=guard_bands,
+                              modulation=modulation, cfg=cfg,
+                              search_window=cfg.sym_len)
     return _fused_defec(out, payload_len, n_bytes, fec)
 
 
@@ -185,14 +231,19 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                    modulation: Modulation = Modulation.QPSK,
                    fec: str | None = None, data_len: int | None = None,
                    resync: bool = True,
+                   planar_handoff: str = "planar",
                    cfg: FrameConfig = DEFAULT_CONFIG):
     """Decode ``n_frames`` frames at fixed ``spacing`` from one stream.
 
     samples: complex[T], or a PLANAR f32[2, T] stream (e.g. from
-    core.transfer.to_device_planar) — the presync extractor then runs fully
-    planar through decode_planar_matrix with no complex intermediate; the
-    first frame may start anywhere within the first ``spacing`` samples (a
-    global sync resolves it).  Returns
+    core.transfer.to_device_planar), or a pre-tiled PLANAR f32[2, tiles, 128]
+    stream in the pinned row-major layout (rx.planar_stream_format — the
+    zero-copy serving upload; the tile split merges as a free bitcast).  On
+    a planar stream no complex copy of the full stream is ever built: the
+    presync extractor hands planar rows to the matrix tail directly, and
+    the resync extractor hands them to decode_frame_planar's fused kernel.
+    The first frame may start anywhere within the first ``spacing`` samples
+    (a global sync resolves it).  Returns
     (payloads [n_frames, data_len or payload_len], ok flags).
 
     ``resync=True`` (default) re-syncs every frame within a one-symbol window
@@ -200,15 +251,24 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     trusts the global sync and spacing exactly (a transmit loop replaying a
     fixed frame at fixed cadence) and skips the per-row sync/alignment
     entirely — ~17% faster at the 256-frame 64QAM streaming shape.
+
+    ``planar_handoff`` ("planar" | "complex") picks the presync planar
+    extractor's intermediate (see _extract_and_decode_presync_planar).
     """
+    # pre-tiled pinned form [2, tiles, 128]: merge the tile split (a free
+    # bitcast on a row-major argument)
+    if (samples.ndim == 3 and samples.shape[0] == 2
+            and samples.shape[-1] == 128
+            and not jnp.iscomplexobj(samples)):
+        samples = samples.reshape(2, -1)
     nb = n_data_blocks(payload_len, modulation, guard_bands, cfg)
     flen = cfg.sync_len + nb * cfg.sym_len
     assert spacing >= flen, f"spacing {spacing} < frame length {flen}"
     need = n_frames * spacing + cfg.sym_len
 
     # PLANAR stream input (f32[2, T], e.g. core.transfer.to_device_planar):
-    # the presync extractor runs fully planar (decode_planar_matrix) — no
-    # complex stream or aligned intermediate in the graph at all.
+    # the extractors run fully planar — no complex copy of the full stream
+    # exists in the graph (the rows hand off per ``planar_handoff``).
     planar = (samples.ndim == 2 and samples.shape[0] == 2
               and not jnp.iscomplexobj(samples))
 
@@ -222,10 +282,10 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
             _first_sync_planar(samples, spacing=spacing, need=need, cfg=cfg),
             0).astype(jnp.int32)
         if resync:
-            samples = jax.lax.complex(samples[0], samples[1])
-            fn = _extract_and_decode
+            fn = _extract_and_decode_planar
         else:
-            fn = _extract_and_decode_presync_planar
+            fn = _partial(_extract_and_decode_presync_planar,
+                          handoff=planar_handoff)
     else:
         first = jnp.maximum(
             _first_sync(samples, spacing=spacing, need=need, cfg=cfg),

@@ -325,3 +325,39 @@ def test_decode_regular_planar_stream(frames):
         assert okp.all()
         for i in range(4):
             np.testing.assert_array_equal(pp[i], datas[i])
+
+
+def test_decode_regular_planar_variants(frames):
+    """The planar-route compositions must all match the complex path
+    byte-for-byte: both presync handoffs ("planar" and "complex"), and the
+    pre-tiled f32[2, tiles, 128] stream form (rx.planar_stream_format's
+    shape — the zero-copy serving upload)."""
+    datas, tx = frames
+    spacing = tx.shape[1] + 160
+    stream = np.zeros(4 * spacing + 100, np.complex128)
+    for i in range(4):
+        stream[i * spacing + 37: i * spacing + 37 + tx.shape[1]] = tx[i]
+    noisy = np.asarray(ot.channel(jnp.asarray(stream), snr=25.0,
+                                  key=jax.random.key(9)))
+    planar = np.stack([noisy.real, noisy.imag]).astype(np.float32)
+    tiles = -(-planar.shape[-1] // 128)
+    tiled = jnp.asarray(np.pad(
+        planar, ((0, 0), (0, tiles * 128 - planar.shape[-1]))
+    ).reshape(2, tiles, 128))
+    cplx = jnp.asarray(noisy.astype(np.complex64))
+    kw = dict(n_frames=4, spacing=spacing,
+              payload_len=coded_len(96, "hamming"),
+              modulation=ot.Modulation.QPSK, fec="hamming", data_len=96)
+    for resync in (False, True):
+        pc, okc = decode_regular(cplx, resync=resync, **kw)
+        assert okc.all()
+        for handoff in ("planar", "complex"):
+            pp, okp = decode_regular(jnp.asarray(planar), resync=resync,
+                                     planar_handoff=handoff, **kw)
+            np.testing.assert_array_equal(pp, pc)
+            np.testing.assert_array_equal(okp, okc)
+        pt, okt = decode_regular(tiled, resync=resync, **kw)
+        np.testing.assert_array_equal(pt, pc)
+        np.testing.assert_array_equal(okt, okc)
+        for i in range(4):
+            np.testing.assert_array_equal(pc[i], datas[i])
