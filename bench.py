@@ -54,6 +54,49 @@ SRV_IN_FLIGHT = 4
 SRV_W = SRV_H = 24
 SRV_USER = SRV_W * SRV_H
 
+# Per-config retry thresholds: 1.3x each path's documented best
+# (docs/BENCHMARKS.md; VERDICT r4 #3 — a flat threshold let mid-grade
+# placements pass as round records).  A measurement above its threshold
+# retries through the degraded window; the attempt history is always
+# reported either way.
+THRESH = {
+    "headline_complex": 0.881e-3 * 1.3,
+    "headline_planar": 0.778e-3 * 1.3,
+    "hamming": 1.13e-3 * 1.3,
+    "serving": 0.068 * 1.3,
+}
+
+ATTEMPTS_FILE = os.environ.get("BENCH_ATTEMPTS_FILE", "BENCH_ATTEMPTS_r05.json")
+
+# Presync planar extractor handoff for the config-4/5 planar routes —
+# set from the round-5 harness A/B (tools/exp_r5_harness.py s_pl_pl vs
+# s_pl_cx); see _extract_and_decode_presync_planar for the two candidates.
+PLANAR_HANDOFF = "planar"
+
+
+def _record_attempt(record):
+    """Append this process's numbers to the round attempts file (fresh-
+    process history: chip placement is fixed per process, so in-process
+    retries cannot escape a bad placement — the file shows what the chip
+    actually offered across the round)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ATTEMPTS_FILE)
+        doc = {"what": "Fresh-process attempts across the round-5 session "
+                       "(chained cache-proof, byte-gated).  Appended by "
+                       "bench.py per run; harness entries merged from "
+                       "tools/exp_r5_harness.py logs.",
+               "attempts": []}
+        if os.path.exists(path):
+            with open(path) as f:
+                doc = json.load(f)
+        doc.setdefault("attempts", []).append(record)
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+    except Exception:
+        pass               # the attempts file must never sink the bench
+
 
 def _retry(measure, threshold_s, is_cpu, max_tries=6, sleep_s=60):
     """Measure; retry through degraded windows; return (best, attempts)."""
@@ -109,7 +152,8 @@ def bench_headline(jax, jnp, ot):
         carry_box[0] = c
         return (time.perf_counter() - t0) / REPS
 
-    dt, attempts = _retry(measure, 1.8e-3, jax.default_backend() == "cpu")
+    dt, attempts = _retry(measure, THRESH["headline_complex"],
+                          jax.default_backend() == "cpu")
 
     # planar-input serving variant: the stream as pre-tiled f32 planes with
     # the row-major layout pinned (ot.planar_input_format) — what a capture
@@ -180,8 +224,9 @@ def bench_headline(jax, jnp, ot):
             pc[0] = c
             return (time.perf_counter() - t0) / REPS
 
-        pdt, pattempts = _retry(pmeasure, 1.8e-3,
-                                jax.default_backend() == "cpu", max_tries=2)
+        pdt, pattempts = _retry(pmeasure, THRESH["headline_planar"],
+                                jax.default_backend() == "cpu",
+                                max_tries=4)
         planar = {"seconds_per_step": pdt,
                   "samples_per_s": n_samples / pdt,
                   "attempts_seconds_per_step": pattempts}
@@ -257,7 +302,77 @@ def bench_hamming(jax, jnp, ot):
         carry_box[0] = c
         return (time.perf_counter() - t0) / HAM_REPS
 
-    dt, attempts = _retry(measure, 2.6e-3, jax.default_backend() == "cpu")
+    dt, attempts = _retry(measure, THRESH["hamming"],
+                          jax.default_backend() == "cpu")
+
+    # planar-pinned input variant (VERDICT r4 #2): captures arrive as fc32
+    # planes from the native deinterleaver — the honest serving interface.
+    # Pre-tiled f32[2, tiles, 128] pinned row-major; the presync extractor
+    # runs fully planar (handoff per the round-5 harness A/B).
+    planar = None
+    try:
+        t = streams[0].shape[-1]
+        tiles = -(-t // 128) + 1
+        sfmt = ot.planar_stream_format() \
+            if jax.default_backend() == "tpu" else None
+
+        def prep_fn(s, k=0):
+            p = jnp.pad(jnp.stack([jnp.real(s), jnp.imag(s)]),
+                        ((0, 0), (0, tiles * 128 - t))).reshape(2, tiles, 128)
+            return jnp.roll(jnp.roll(p, k, 1), -k, 1) if k else p
+
+        uniq = [0]
+
+        def pin(s):
+            for _ in range(16):
+                uniq[0] += 1
+                f = jax.jit(lambda x, k=uniq[0]: prep_fn(x, k),
+                            out_shardings=sfmt)
+                out = f(s)
+                if sfmt is None or tuple(
+                        out.format.layout.major_to_minor) == (0, 1, 2):
+                    return jax.block_until_ready(out)
+            raise RuntimeError("could not pin planar stream layout")
+
+        pstreams = [pin(s) for s in streams]
+
+        def pstep_fn(p, carry):
+            sp = p.reshape(2, -1)
+            first = jnp.maximum(
+                st._first_sync_planar(sp, spacing=spacing, need=need,
+                                      cfg=cfg), 0).astype(jnp.int32)
+            out = st._extract_and_decode_presync_planar(
+                sp, first, n_frames=HAM_FRAMES, spacing=spacing, need=need,
+                nb=nb, flen=flen, guard_bands=True, modulation=mod, cfg=cfg,
+                payload_len=plen, n_bytes=HAM_DATA_BYTES, fec="hamming",
+                handoff=PLANAR_HANDOFF)
+            return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9, out
+
+        pstep = jax.jit(pstep_fn, in_shardings=(sfmt, None)) if sfmt \
+            else jax.jit(pstep_fn)
+        pc, pout0 = pstep(pstreams[0], jnp.float32(0.0))
+        perrs = int(np.count_nonzero(np.asarray(pout0) != datas[0]))
+        assert perrs == 0, f"planar streaming route: {perrs} byte errors"
+        pbox = [pc]
+
+        def pmeasure():
+            c = pbox[0]
+            t0 = time.perf_counter()
+            for i in range(HAM_REPS):
+                c, _ = pstep(pstreams[i % 2], c)
+            float(c)
+            pbox[0] = c
+            return (time.perf_counter() - t0) / HAM_REPS
+
+        pdt, pattempts = _retry(pmeasure, THRESH["hamming"],
+                                jax.default_backend() == "cpu", max_tries=4)
+        planar = {"seconds_per_step": pdt,
+                  "samples_per_s": n_samples / pdt,
+                  "handoff": PLANAR_HANDOFF,
+                  "attempts_seconds_per_step": pattempts}
+    except Exception as e:
+        planar = {"error": repr(e)[:300]}
+
     return {
         "metric": "samples/s/chip (64QAM hamming streaming presync)",
         "value": n_samples / dt,
@@ -268,21 +383,31 @@ def bench_hamming(jax, jnp, ot):
                    "user_byte_errors_clean_batch": errs,
                    "user_GBps": HAM_FRAMES * HAM_DATA_BYTES / dt / 1e9,
                    "seconds_per_step": dt,
-                   "attempts_seconds_per_step": attempts},
+                   "attempts_seconds_per_step": attempts,
+                   "planar_pinned_input": planar},
     }
 
 
 def bench_serving(jax, jnp, ot):
     """Config 5: sustained serving composition — device-resident buffers,
     >= 4 in flight, host tail = batched RS(255,223) + xterm-256 colorspace.
-    Wall-clock includes the host tail; every image frame byte-checked."""
+    Wall-clock includes the host tail; every image frame byte-checked.
+
+    Round-5 composition (VERDICT r4 #4): the decode graph slices the RS
+    payload region ON DEVICE (header + padding never cross the tunnel),
+    per-buffer fetches + host tails run on worker threads overlapped with
+    the next buffers' dispatches, and a device-resident sustained number
+    (outputs consumed on device, no per-buffer fetch) is recorded next to
+    the d2h-included one."""
     import collections
+    from concurrent.futures import ThreadPoolExecutor
 
     from ofdm_tpu.config import DEFAULT_CONFIG as cfg
     from ofdm_tpu.core.transfer import to_device, to_host
     from ofdm_tpu.fec import reed_solomon as rs
     from ofdm_tpu.packets.colors import id_to_rgb
     from ofdm_tpu.packets.header import HEADER_LEN
+    from ofdm_tpu.phy import streaming as st
     from ofdm_tpu.phy.streaming import _extract_and_decode, _first_sync
 
     mod = ot.Modulation.QAM64
@@ -309,6 +434,7 @@ def bench_serving(jax, jnp, ot):
             to_device(np.ascontiguousarray(to_host(rxs)))))
         truth.append(pixels[b])
     n_samples = int(dev_bufs[0].size)
+    n_buffers = SRV_ROUNDS * SRV_DISTINCT
 
     @jax.jit
     def serve(s, carry):
@@ -319,45 +445,139 @@ def bench_serving(jax, jnp, ot):
         out = _extract_and_decode(
             s, first, n_frames=SRV_FRAMES, spacing=spacing, need=need,
             nb=nb, flen=flen, guard_bands=True, modulation=mod, cfg=cfg)
-        return out, carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
+        # device-side payload slice: only the RS code bytes ever cross the
+        # tunnel (the header + demod padding stay on device)
+        raw = out[:, HEADER_LEN:HEADER_LEN + payload_len]
+        return raw, carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
 
-    def process(out_np, b_idx):
-        raw = out_np[:, HEADER_LEN:HEADER_LEN + payload_len]
-        data, ok = rs.decode_payload_rows(raw, SRV_USER)
+    def process(raw_np, b_idx):
+        data, ok = rs.decode_payload_rows(raw_np, SRV_USER)
         _ = id_to_rgb(data.reshape(-1)).reshape(SRV_FRAMES, SRV_H, SRV_W, 3)
         return bool(ok.all()) and np.array_equal(data, truth[b_idx])
+
+    def fetch_and_process(o, b_idx):
+        return process(np.asarray(o), b_idx)
 
     carry = jnp.float32(0.0)
     out, carry = serve(dev_bufs[0], carry)     # compile + warm
     t0 = time.perf_counter()
     out_np = np.asarray(out)
-    d2h_s = time.perf_counter() - t0           # the relay's d2h is the
-    assert process(out_np, 0)                  # composition's bottleneck
+    d2h_s = time.perf_counter() - t0           # sliced-payload fetch cost
+    assert process(out_np, 0)
 
     def measure():
+        """d2h-included wall clock: fetch + RS tail on worker threads,
+        overlapped with the in-flight dispatch window."""
         nonlocal carry
-        pending = collections.deque()
         bad = 0
-        n_buffers = SRV_ROUNDS * SRV_DISTINCT
-        t0 = time.perf_counter()
-        for i in range(n_buffers):
-            b = i % SRV_DISTINCT
-            o, c2 = serve(dev_bufs[b], carry)
-            carry = c2
-            pending.append((b, o))
-            while len(pending) > SRV_IN_FLIGHT:
-                bi, oo = pending.popleft()
-                bad += not process(np.asarray(oo), bi)
-            float(carry) if i == n_buffers - 1 else None
-        while pending:
-            bi, oo = pending.popleft()
-            bad += not process(np.asarray(oo), bi)
-        wall = time.perf_counter() - t0
+        futures = collections.deque()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            t0 = time.perf_counter()
+            for i in range(n_buffers):
+                o, c2 = serve(dev_bufs[i % SRV_DISTINCT], carry)
+                carry = c2
+                futures.append(ex.submit(fetch_and_process, o,
+                                         i % SRV_DISTINCT))
+                while len(futures) > SRV_IN_FLIGHT:
+                    bad += not futures.popleft().result()
+            while futures:
+                bad += not futures.popleft().result()
+            wall = time.perf_counter() - t0
         assert bad == 0, f"{bad} serving buffers failed byte check"
         return wall / n_buffers
 
-    dt, attempts = _retry(measure, 0.5, jax.default_backend() == "cpu",
-                          max_tries=3)
+    def measure_device_resident():
+        """Sustained decode rate with outputs consumed on device (the
+        direct-attached deployment shape: a colocated consumer reads the
+        payload bytes without crossing this tunnel).  The carry chain
+        forces every buffer's full decode."""
+        nonlocal carry
+        t0 = time.perf_counter()
+        for i in range(n_buffers):
+            _, carry = serve(dev_bufs[i % SRV_DISTINCT], carry)
+        float(carry)
+        return (time.perf_counter() - t0) / n_buffers
+
+    dt, attempts = _retry(measure, THRESH["serving"],
+                          jax.default_backend() == "cpu", max_tries=3)
+    dev_dt, dev_attempts = _retry(
+        measure_device_resident, THRESH["serving"],
+        jax.default_backend() == "cpu", max_tries=2)
+
+    # planar-pinned input variant: buffers upload as pre-tiled f32 planes
+    # (the native fc32 deinterleaver's output — no complex assembly on
+    # either side of the PCIe/tunnel), per-row resync via the fused kernel.
+    planar = None
+    try:
+        t = int(dev_bufs[0].shape[-1])
+        tiles = -(-t // 128) + 1
+        sfmt = ot.planar_stream_format() \
+            if jax.default_backend() == "tpu" else None
+
+        def prep_fn(s, k=0):
+            p = jnp.pad(jnp.stack([jnp.real(s), jnp.imag(s)]),
+                        ((0, 0), (0, tiles * 128 - t))).reshape(2, tiles, 128)
+            return jnp.roll(jnp.roll(p, k, 1), -k, 1) if k else p
+
+        uniq = [1000]
+
+        def pin(s):
+            for _ in range(16):
+                uniq[0] += 1
+                f = jax.jit(lambda x, k=uniq[0]: prep_fn(x, k),
+                            out_shardings=sfmt)
+                o = f(s)
+                if sfmt is None or tuple(
+                        o.format.layout.major_to_minor) == (0, 1, 2):
+                    return jax.block_until_ready(o)
+            raise RuntimeError("could not pin planar stream layout")
+
+        pbufs = [pin(s) for s in dev_bufs]
+
+        def serve_planar_fn(p, carry):
+            sp = p.reshape(2, -1)
+            sp = sp + carry * np.float32(1e-30)
+            first = jnp.maximum(
+                st._first_sync_planar(sp, spacing=spacing, need=need,
+                                      cfg=cfg), 0).astype(jnp.int32)
+            out = st._extract_and_decode_planar(
+                sp, first, n_frames=SRV_FRAMES, spacing=spacing, need=need,
+                nb=nb, flen=flen, guard_bands=True, modulation=mod, cfg=cfg)
+            raw = out[:, HEADER_LEN:HEADER_LEN + payload_len]
+            return raw, carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
+
+        serve_planar = jax.jit(serve_planar_fn, in_shardings=(sfmt, None)) \
+            if sfmt else jax.jit(serve_planar_fn)
+        pcarry = jnp.float32(0.0)
+        praw, pcarry = serve_planar(pbufs[0], pcarry)
+        assert process(np.asarray(praw), 0), "planar serving byte check"
+
+        def pmeasure():
+            nonlocal pcarry
+            bad = 0
+            futures = collections.deque()
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                t0 = time.perf_counter()
+                for i in range(n_buffers):
+                    o, pcarry = serve_planar(pbufs[i % SRV_DISTINCT], pcarry)
+                    futures.append(ex.submit(fetch_and_process, o,
+                                             i % SRV_DISTINCT))
+                    while len(futures) > SRV_IN_FLIGHT:
+                        bad += not futures.popleft().result()
+                while futures:
+                    bad += not futures.popleft().result()
+                wall = time.perf_counter() - t0
+            assert bad == 0, f"{bad} planar serving buffers failed"
+            return wall / n_buffers
+
+        pdt, pattempts = _retry(pmeasure, THRESH["serving"],
+                                jax.default_backend() == "cpu", max_tries=2)
+        planar = {"seconds_per_buffer": pdt,
+                  "samples_per_s": n_samples / pdt,
+                  "attempts_seconds_per_buffer": pattempts}
+    except Exception as e:
+        planar = {"error": repr(e)[:300]}
+
     gss = n_samples / dt
     return {
         "metric": "sustained samples/s/chip (serving: decode + RS + colorspace)",
@@ -366,18 +586,23 @@ def bench_serving(jax, jnp, ot):
         "vs_baseline": gss / BASELINE_PER_CHIP,
         "detail": {"frames_per_buffer": SRV_FRAMES,
                    "samples_per_buffer": n_samples,
-                   "buffers": SRV_ROUNDS * SRV_DISTINCT,
+                   "buffers": n_buffers,
                    "in_flight": SRV_IN_FLIGHT,
                    "image_frames_per_s": SRV_FRAMES / dt,
                    "seconds_per_buffer": dt,
                    "rs_native": rs._LIB is not None,
                    "d2h_seconds_per_buffer": d2h_s,
-                   "note": ("composition wall-clock includes fetching the "
-                            "decoded bytes to the host for the RS tail; on "
-                            "the tunneled runtime that d2h dominates "
-                            "(direct-attached hosts move it ~100x faster — "
-                            "see docs/BENCHMARKS.md 'Sustained end-to-end "
-                            "serving')"),
+                   "device_resident_seconds_per_buffer": dev_dt,
+                   "device_resident_samples_per_s": n_samples / dev_dt,
+                   "device_resident_attempts": dev_attempts,
+                   "planar_pinned_input": planar,
+                   "note": ("wall-clock includes the host RS+colorspace "
+                            "tail; the payload region is sliced on device "
+                            "and fetches overlap dispatches on worker "
+                            "threads.  device_resident_* is the same chain "
+                            "with outputs consumed on device (the "
+                            "direct-attached deployment shape; this "
+                            "tunnel's d2h RTT is ~100x a local PCIe's)"),
                    "attempts_seconds_per_buffer": attempts},
     }
 
@@ -425,6 +650,30 @@ def main():
             configs[name] = {"error": repr(e)[:500]}   # sink the headline
     head["detail"]["configs"] = configs
     head["detail"]["backend"] = jax.default_backend()
+
+    if jax.default_backend() == "tpu":
+        ham = configs.get("hamming_streaming", {}).get("detail", {})
+        srv = configs.get("serving", {}).get("detail", {})
+        _record_attempt({
+            "utc": time.strftime("%H:%M", time.gmtime()),
+            "process": "bench",
+            "complex_ms": [a * 1e3 for a in
+                           head["detail"]["attempts_seconds_per_step"]],
+            "planar_pinned_ms": [
+                a * 1e3 for a in head["detail"].get(
+                    "planar_serving_input", {}).get(
+                    "attempts_seconds_per_step", [])],
+            "hamming_ms": [a * 1e3 for a in
+                           ham.get("attempts_seconds_per_step", [])],
+            "hamming_planar_ms": [
+                a * 1e3 for a in ham.get("planar_pinned_input", {}).get(
+                    "attempts_seconds_per_step", [])],
+            "serving_s": srv.get("attempts_seconds_per_buffer", []),
+            "serving_device_resident_s": srv.get(
+                "device_resident_attempts", []),
+            "serving_planar_s": srv.get("planar_pinned_input", {}).get(
+                "attempts_seconds_per_buffer", []),
+        })
 
     print(json.dumps({
         "metric": "samples/s/chip (64QAM demod)",
