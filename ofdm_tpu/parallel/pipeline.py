@@ -83,6 +83,36 @@ def decode_frame_sharded(samples: jnp.ndarray, mesh, *, n_blocks: int,
                                cfg=cfg)
 
 
+def decode_frame_planar_sharded(planes: jnp.ndarray, mesh, *, n_blocks: int,
+                                guard_bands: bool = False,
+                                modulation: Modulation = Modulation.BPSK,
+                                cfg: FrameConfig = DEFAULT_CONFIG,
+                                align_impl: str = "auto",
+                                interpret: bool = False) -> jnp.ndarray:
+    """Data-parallel PLANAR batched decode: f32[B, 2, T] (or pre-tiled
+    f32[B, 2, tiles, 128]) rows sharded over the data axis.
+
+    Rows are independent, so the fused Pallas sync+align kernel (or the
+    slot-major chunked kernel, ``align_impl="chunked"``) runs per shard
+    under shard_map — a Pallas call has no GSPMD partitioning rule, so the
+    explicit shard_map is what keeps the kernel local to each device's
+    rows (no gather of the batch).  ``interpret=True`` runs the kernels in
+    interpret mode on CPU meshes (the multichip dryrun)."""
+    spec = P(DATA_AXIS, *([None] * (planes.ndim - 1)))
+    sharded = jax.device_put(planes, NamedSharding(mesh, spec))
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=P(DATA_AXIS, None),
+             check_vma=False)     # pallas_call outputs carry no vma info
+    def fn(p):
+        return rx_mod.decode_frame_planar(
+            p, n_blocks=n_blocks, guard_bands=guard_bands,
+            modulation=modulation, cfg=cfg, align_impl=align_impl,
+            interpret=interpret)
+
+    return fn(sharded)
+
+
 @lru_cache(maxsize=None)
 def _extract_rows(mesh, need: int, spacing: int, flen: int, n_rows: int,
                   cfg: FrameConfig):

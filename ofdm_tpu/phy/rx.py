@@ -637,7 +637,8 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
                         modulation: Modulation = Modulation.BPSK,
                         cfg: FrameConfig = DEFAULT_CONFIG,
                         search_window: int | None = None,
-                        align_impl: str = "auto") -> jnp.ndarray:
+                        align_impl: str = "auto",
+                        interpret: bool = False) -> jnp.ndarray:
     """``decode_frame`` for a PLANAR sample stream f32[..., 2, T].
 
     The serving-honest input interface: captures are interleaved fc32 on the
@@ -655,7 +656,10 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
     ``align_impl``: "auto" = the production fused sync+align kernel +
     planar matrix tail; "chain" = the experimental one-pass full-chain
     kernel (kernels/chain_pallas.py).  Off-TPU this assembles the complex
-    view and runs the standard decode_frame (CPU parity path).
+    view and runs the standard decode_frame (CPU parity path) —
+    ``interpret=True`` instead forces the TPU composition with the Pallas
+    kernels in interpret mode (multichip dryruns / kernel-path tests on
+    CPU meshes).
     """
     if planes.ndim >= 4 and planes.shape[-1] == 128 and planes.shape[-3] == 2:
         # pre-tiled [..., 2, tiles, 128] form (planar_input_format): merge
@@ -671,7 +675,7 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
     on_tpu = jax.devices()[0].platform == "tpu"
     n_chunks = cfg.n_sync_chunks + n_blocks
     need = n_chunks * cfg.sym_len
-    if on_tpu and tpl_ok:
+    if (on_tpu or interpret) and tpl_ok:
         pad = max(0, need - planes.shape[-1])
         planes = jnp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(0, pad)])
         batch_shape = planes.shape[:-2]
@@ -681,19 +685,21 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
             out = decode_chain(flatp, template.astype(np.complex64),
                                n_blocks=n_blocks, modulation=modulation,
                                guard_bands=guard_bands, cfg=cfg,
-                               search_window=search_window)
+                               search_window=search_window,
+                               interpret=interpret)
         elif align_impl == "chunked":
             from ..kernels.chain_pallas import sync_align_chunked
             chun, slots, m_per = sync_align_chunked(
                 flatp, template.astype(np.complex64), n_chunks=n_chunks,
-                cfg=cfg, search_window=search_window)
+                cfg=cfg, search_window=search_window, interpret=interpret)
             out = decode_chunked_matrix(
                 chun, n_chunks=n_chunks, m_per=m_per,
                 guard_bands=guard_bands, modulation=modulation, cfg=cfg)
         elif align_impl == "fused_planar":
             from ..kernels.align_pallas import sync_align
             ap = sync_align(flatp, template.astype(np.complex64), need,
-                            search_window=search_window, planar=True)
+                            search_window=search_window, planar=True,
+                            interpret=interpret)
             out, _ = decode_planar_matrix(
                 ap.reshape(-1, 2, need), n_chunks=n_chunks,
                 guard_bands=guard_bands, modulation=modulation, cfg=cfg,
@@ -705,7 +711,8 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
             # best (round-4 roofline finding, see _FUSED_AUTO)
             from ..kernels.align_pallas import sync_align
             aligned = sync_align(flatp, template.astype(np.complex64), need,
-                                 search_window=search_window)
+                                 search_window=search_window,
+                                 interpret=interpret)
             out, _ = decode_aligned(
                 aligned, n_chunks=n_chunks, guard_bands=guard_bands,
                 modulation=modulation, cfg=cfg, cfo_estimator="coherent",

@@ -63,19 +63,39 @@ def coded_len(n_bytes: int, fec: str | None) -> int:
 from functools import partial as _partial
 
 
+def _norm_sync_argmax(head, template, spacing: int):
+    """Normalized-matched-filter sync over ``head`` (the scan prefix):
+    rho[L] ∝ |c[L]|^2 / E_window[L].
+
+    The raw |c|^2 argmax (the reference's statistic, src/receiver.rs:20-25)
+    can be beaten by a random data segment: QPSK payload draws exist whose
+    body out-correlates the true locking block by ~10% and then every frame
+    in the buffer decodes garbage (found by the round-5 multichip dryrun at
+    mesh data=2).  Dividing by window energy is Cauchy-Schwarz-bounded —
+    rho ~= 1 at the true locking block, strictly below for any
+    non-proportional segment — the same statistic decode_burst gates on.
+    The E_template factor is constant and dropped (argmax-invariant).
+    The argmax is restricted to lags < spacing: with identical repeated
+    frames the next frame's locking block correlates *exactly* as high,
+    and summation-order rounding could otherwise hand the tie to a later
+    peak."""
+    from ..ops.xcorr import sliding_correlation_matmul
+    k = int(np.shape(template)[-1])
+    c = sliding_correlation_matmul(head, template)
+    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
+    cs = jnp.cumsum(jnp.real(head) ** 2 + jnp.imag(head) ** 2, axis=-1)
+    cs = jnp.pad(cs, [(0, 0)] * (cs.ndim - 1) + [(1, 0)])
+    e_w = cs[..., k: k + spacing] - cs[..., :spacing]
+    rho = power[..., :spacing] / (e_w + np.asarray(1e-30, e_w.dtype))
+    return jnp.argmax(rho, axis=-1) - 1
+
+
 @_partial(jax.jit, static_argnames=("spacing", "need", "cfg"))
 def _first_sync(s, *, spacing: int, need: int, cfg: FrameConfig):
-    # The sync argmax is restricted to lags < spacing: with identical
-    # repeated frames the next frame's locking block correlates *exactly*
-    # as high, and summation-order rounding could otherwise hand the tie
-    # to a later peak.
     from .. import constants
-    from ..ops.xcorr import sliding_correlation_matmul
     template = constants.locking_for(cfg)
     s = jnp.pad(s, (0, max(0, need - s.shape[-1])))
-    c = sliding_correlation_matmul(s[: spacing + cfg.sym_len], template)
-    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
-    return jnp.argmax(power[..., :spacing], axis=-1) - 1
+    return _norm_sync_argmax(s[: spacing + cfg.sym_len], template, spacing)
 
 
 def _fused_defec(out, payload_len: int, n_bytes: int, fec: str | None):
@@ -107,7 +127,9 @@ def _extract_and_decode(s, first, *, n_frames: int, spacing: int, need: int,
     # Uniform spacing makes frame extraction ONE contiguous dynamic slice +
     # reshape (per-row dynamic_slice gathers lower ~40% slower on TPU,
     # tools/exp_stream_tpu.py).
-    s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+    # pad only when the buffer lacks the slack (a pre-tiled pinned
+    # stream already carries >= one spare zero tile: zero-copy)
+    s = jnp.pad(s, (0, max(0, need + cfg.sym_len - s.shape[-1])))
     rows = jax.lax.dynamic_slice_in_dim(
         s, first, n_frames * spacing).reshape(n_frames, spacing)[:, :flen]
     out = decode_frame(rows, n_blocks=nb, guard_bands=guard_bands,
@@ -129,7 +151,9 @@ def _extract_and_decode_presync(s, first, *, n_frames: int, spacing: int,
     # or alignment gather at all (3.76 vs 3.22 GS/s at the 256-frame 64QAM
     # streaming shape, tools/exp_stream_tpu.py).
     from .rx import decode_aligned
-    s = jnp.pad(s, (0, max(0, need - s.shape[-1]) + cfg.sym_len))
+    # pad only when the buffer lacks the slack (a pre-tiled pinned
+    # stream already carries >= one spare zero tile: zero-copy)
+    s = jnp.pad(s, (0, max(0, need + cfg.sym_len - s.shape[-1])))
     rows = jax.lax.dynamic_slice_in_dim(
         s, first, n_frames * spacing).reshape(n_frames, spacing)[:, :flen]
     out, _ = decode_aligned(rows, n_chunks=cfg.n_sync_chunks + nb,
@@ -147,11 +171,8 @@ def _first_sync_planar(sp, *, spacing: int, need: int, cfg: FrameConfig):
     s = jax.lax.complex(sp[0, :head], sp[1, :head])
     s = jnp.pad(s, (0, max(0, spacing + cfg.sym_len - head)))
     from .. import constants
-    from ..ops.xcorr import sliding_correlation_matmul
     template = constants.locking_for(cfg)
-    c = sliding_correlation_matmul(s, template)
-    power = jnp.real(c) ** 2 + jnp.imag(c) ** 2
-    return jnp.argmax(power[..., :spacing], axis=-1) - 1
+    return _norm_sync_argmax(s, template, spacing)
 
 
 @_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
@@ -178,24 +199,39 @@ def _extract_and_decode_presync_planar(sp, first, *, n_frames: int,
       tail — the composition that won the round-4 headline A/B (the planar
       kernel handoff measured ~0.15 ms slower at equal HLO write totals);
       whether that carries over to the XLA-only streaming extraction is an
-      on-chip A/B question (tools/exp_r5_stream.py), not an audit one.
+      on-chip A/B question (tools/exp_r5_harness.py), not an audit one.
+    - "split": the sliced planes feed _derot_matrix_core DIRECTLY as
+      separate re/im chunk views — no [2,R,T]->[R,2,T] transpose and no
+      complex interleave copy ever exists; structurally the leanest
+      composition.
     """
-    sp = jnp.pad(sp, ((0, 0), (0, max(0, need - sp.shape[-1]) + cfg.sym_len)))
+    sp = jnp.pad(sp, ((0, 0),
+                      (0, max(0, need + cfg.sym_len - sp.shape[-1]))))
     rows = jax.lax.dynamic_slice_in_dim(
         sp, first, n_frames * spacing, axis=1)
     rows = rows.reshape(2, n_frames, spacing)[:, :, :flen]
+    n_chunks = cfg.n_sync_chunks + nb
     if handoff == "complex":
         from .rx import decode_aligned
         cplx = jax.lax.complex(rows[0], rows[1])     # [n_frames, flen]
-        out, _ = decode_aligned(cplx, n_chunks=cfg.n_sync_chunks + nb,
+        out, _ = decode_aligned(cplx, n_chunks=n_chunks,
                                 guard_bands=guard_bands,
                                 modulation=modulation, cfg=cfg,
                                 cfo_estimator="coherent",
                                 derot_impl="matrix")
+    elif handoff == "split":
+        from .rx import _derot_matrix_core
+        cp = rows[..., : n_chunks * cfg.sym_len].reshape(
+            2, n_frames, n_chunks, cfg.sym_len)
+        out, _ = _derot_matrix_core(cp[0], cp[1], n_chunks=n_chunks,
+                                    guard_bands=guard_bands,
+                                    modulation=modulation, cfg=cfg,
+                                    dft_precision=None,
+                                    cfo_estimator="coherent")
     else:
         from .rx import decode_planar_matrix
         prows = jnp.swapaxes(rows, 0, 1)             # [n_frames, 2, flen]
-        out, _ = decode_planar_matrix(prows, n_chunks=cfg.n_sync_chunks + nb,
+        out, _ = decode_planar_matrix(prows, n_chunks=n_chunks,
                                       guard_bands=guard_bands,
                                       modulation=modulation, cfg=cfg,
                                       cfo_estimator="coherent")
@@ -216,7 +252,8 @@ def _extract_and_decode_planar(sp, first, *, n_frames: int, spacing: int,
     is never assembled as complex64 (the complex resync path pays that
     assembly copy before slicing)."""
     from .rx import decode_frame_planar
-    sp = jnp.pad(sp, ((0, 0), (0, max(0, need - sp.shape[-1]) + cfg.sym_len)))
+    sp = jnp.pad(sp, ((0, 0),
+                      (0, max(0, need + cfg.sym_len - sp.shape[-1]))))
     rows = jax.lax.dynamic_slice_in_dim(
         sp, first, n_frames * spacing, axis=1)
     rows = jnp.swapaxes(rows.reshape(2, n_frames, spacing), 0, 1)[..., :flen]

@@ -327,6 +327,37 @@ def test_decode_regular_planar_stream(frames):
             np.testing.assert_array_equal(pp[i], datas[i])
 
 
+def test_first_sync_false_peak_regression():
+    """Payload draws exist whose QPSK body out-correlates the true locking
+    block under the raw |c|^2 statistic (~10% stronger peak mid-stream),
+    killing EVERY frame of the buffer via the shared global sync.  The
+    normalized matched filter (rho = |c|^2 / E_window, Cauchy-Schwarz
+    bounded at the true block) restores the true peak.  This is the exact
+    draw that broke the round-5 multichip dryrun at mesh data=2."""
+    from ofdm_tpu.phy.streaming import _first_sync, _first_sync_planar
+    from ofdm_tpu.config import DEFAULT_CONFIG as cfg
+    rng = np.random.default_rng(1)
+    _ = rng.integers(0, 256, (4, 48), dtype=np.uint8)   # dryrun's first draw
+    user = rng.integers(0, 256, (4, 64), dtype=np.uint8)
+    frames_ = np.asarray(ot.encode_hamming(jnp.asarray(user), guard_bands=True,
+                                           modulation=ot.Modulation.QPSK))
+    spacing = frames_.shape[-1]
+    s = jnp.asarray(frames_.reshape(-1).astype(np.complex64))
+    need = 4 * spacing + cfg.sym_len
+    first = int(_first_sync(s, spacing=spacing, need=need, cfg=cfg))
+    assert first == -1, f"false sync peak returned {first}"   # lag-0 quirk
+    sp = jnp.stack([jnp.real(s), jnp.imag(s)])
+    firstp = int(_first_sync_planar(sp, spacing=spacing, need=need, cfg=cfg))
+    assert firstp == -1, f"planar false sync peak returned {firstp}"
+    # and the full buffer decodes clean end to end
+    p, ok = decode_regular(s, n_frames=4, spacing=spacing,
+                           payload_len=coded_len(64, "hamming"),
+                           modulation=ot.Modulation.QPSK, fec="hamming",
+                           data_len=64)
+    assert ok.all()
+    np.testing.assert_array_equal(p, user)
+
+
 def test_decode_regular_planar_variants(frames):
     """The planar-route compositions must all match the complex path
     byte-for-byte: both presync handoffs ("planar" and "complex"), and the
@@ -351,7 +382,7 @@ def test_decode_regular_planar_variants(frames):
     for resync in (False, True):
         pc, okc = decode_regular(cplx, resync=resync, **kw)
         assert okc.all()
-        for handoff in ("planar", "complex"):
+        for handoff in ("planar", "complex", "split"):
             pp, okp = decode_regular(jnp.asarray(planar), resync=resync,
                                      planar_handoff=handoff, **kw)
             np.testing.assert_array_equal(pp, pc)
