@@ -546,28 +546,6 @@ def decode_frame(samples: jnp.ndarray, *, n_blocks: int,
                            and sync_dtype is None
                            and template.shape[-1] <= 128):
         impl = "fused"
-    if impl == "chain":
-        # ONE Pallas pass for the whole chain: sync + align + coherent CFO +
-        # derot-DFT + channel est + equalize + demod + byte pack — the
-        # stream is read from HBM once and only packed payload words come
-        # back (kernels/chain_pallas.py).  Eligibility: real locking
-        # template <= 128 taps, sym_len <= 128, coherent CFO, default
-        # precision, whole-byte blocks.
-        from ..kernels.chain_pallas import decode_chain
-        if cfo_estimator != "coherent":
-            raise ValueError("align_impl='chain' implements the coherent "
-                             "CFO estimator only")
-        if dft_precision is not None or sync_dtype is not None:
-            raise ValueError("align_impl='chain' uses fixed kernel "
-                             "precisions (dft_precision/sync_dtype must be "
-                             "None)")
-        out = decode_chain(flat, template.astype(np.complex64),
-                           n_blocks=n_blocks, modulation=modulation,
-                           guard_bands=guard_bands, cfg=cfg,
-                           search_window=search_window,
-                           interpret=(jax.devices()[0].platform != "tpu"))
-        out = out.reshape(*batch_shape, out.shape[-1])
-        return out[0] if squeeze else out
     # Resolve the tail lowering up front (the fused-route variant selection
     # below depends on it; see _FUSED_AUTO for the measured rationale).
     demod = "xla" if demod_impl == "auto" else demod_impl
@@ -653,13 +631,16 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
     For zero input copies, pre-pad the stream so T is a multiple of 128
     with at least one all-zero tile beyond the true samples.
 
-    ``align_impl``: "auto" = the production fused sync+align kernel +
-    planar matrix tail; "chain" = the experimental one-pass full-chain
-    kernel (kernels/chain_pallas.py).  Off-TPU this assembles the complex
-    view and runs the standard decode_frame (CPU parity path) —
-    ``interpret=True`` instead forces the TPU composition with the Pallas
-    kernels in interpret mode (multichip dryruns / kernel-path tests on
-    CPU meshes).
+    ``align_impl``: "auto" = the fused sync+align kernel + the complex
+    handoff into the matrix tail (best-measured composition, see
+    _FUSED_AUTO); "chunked" = the slot-major chunk-plane kernel +
+    slot-ordered tail (lower HBM traffic but measured slower on the
+    attached chip — docs/BENCHMARKS.md "Round 5"); "fused_planar" = the
+    kernel's f32 planes into decode_planar_matrix.  Off-TPU this
+    assembles the complex view and runs the standard decode_frame (CPU
+    parity path) — ``interpret=True`` instead forces the TPU composition
+    with the Pallas kernels in interpret mode (multichip dryruns /
+    kernel-path tests on CPU meshes).
     """
     if planes.ndim >= 4 and planes.shape[-1] == 128 and planes.shape[-3] == 2:
         # pre-tiled [..., 2, tiles, 128] form (planar_input_format): merge
@@ -680,14 +661,7 @@ def decode_frame_planar(planes: jnp.ndarray, *, n_blocks: int,
         planes = jnp.pad(planes, [(0, 0)] * (planes.ndim - 1) + [(0, pad)])
         batch_shape = planes.shape[:-2]
         flatp = planes.reshape(-1, 2, planes.shape[-1])
-        if align_impl == "chain":
-            from ..kernels.chain_pallas import decode_chain
-            out = decode_chain(flatp, template.astype(np.complex64),
-                               n_blocks=n_blocks, modulation=modulation,
-                               guard_bands=guard_bands, cfg=cfg,
-                               search_window=search_window,
-                               interpret=interpret)
-        elif align_impl == "chunked":
+        if align_impl == "chunked":
             from ..kernels.chain_pallas import sync_align_chunked
             chun, slots, m_per = sync_align_chunked(
                 flatp, template.astype(np.complex64), n_chunks=n_chunks,

@@ -1,10 +1,12 @@
-"""Fused full-chain Pallas kernel (kernels/chain_pallas.py) parity tests.
+"""Slot-major chunked sync+align kernel (kernels/chain_pallas.py) parity.
 
-Interpret mode on CPU; the compiled path is exercised on TPU by bench.py and
-tools/exp_chain.py.  The invariant: payload bytes EXACT vs the transmitted
-data, and full output equal to decode_frame except where symbols sit exactly
-on decision boundaries (pad symbols of the last block can round differently
-— the kernel's f32 reduction orders differ from XLA's)."""
+Interpret mode on CPU; the compiled path is exercised on TPU by the round-5
+harness (tools/exp_r5_harness.py) and the multichip dryrun.  The invariant:
+payload bytes EXACT vs the transmitted data and vs decode_frame's default
+route.  (The round-4 one-pass full-chain kernel these tests used to cover
+was removed in round 5 — docs/MOSAIC_TECHNIQUES.md; the chunk-regroup
+machinery it pioneered lives on here.)
+"""
 
 import jax
 import jax.numpy as jnp
@@ -14,7 +16,8 @@ import pytest
 import ofdm_tpu as ot
 from ofdm_tpu import constants
 from ofdm_tpu.config import DEFAULT_CONFIG as cfg
-from ofdm_tpu.kernels.chain_pallas import decode_chain
+from ofdm_tpu.kernels.chain_pallas import sync_align_chunked
+from ofdm_tpu.phy.rx import decode_chunked_matrix
 
 TPL = np.asarray(constants.locking_for(cfg)).astype(np.complex64)
 
@@ -37,65 +40,71 @@ def _frame_batch(rng, n_rows, payload_len, mod, gb, snr, key, timing=True):
     (ot.Modulation.QAM64, 45.0),
     (ot.Modulation.QAM256, 55.0),
 ])
-def test_chain_payload_exact_all_modulations(mod, snr):
+def test_chunked_payload_exact_all_modulations(mod, snr):
     rng = np.random.default_rng(5)
     data, rx, nb = _frame_batch(rng, 4, 240, mod, True, snr, key=3)
-    out = np.asarray(decode_chain(rx, TPL, n_blocks=nb, modulation=mod,
-                                  guard_bands=True, interpret=True))
+    out = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=mod, align_impl="chunked"))
     np.testing.assert_array_equal(out[:, 16:16 + 240], data)
     ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
                                      modulation=mod))
-    # payload region must agree with the XLA chain byte-for-byte
+    # header+payload byte-exact vs the default route (pad symbols of the
+    # last block may round differently across reduction orders)
     np.testing.assert_array_equal(out[:, :16 + 240], ref[:, :16 + 240])
 
 
-def test_chain_no_guard_bands():
+def test_chunked_no_guard_bands():
     rng = np.random.default_rng(6)
     data, rx, nb = _frame_batch(rng, 3, 200, ot.Modulation.QPSK, False,
                                 30.0, key=4)
-    out = np.asarray(decode_chain(rx, TPL, n_blocks=nb,
-                                  modulation=ot.Modulation.QPSK,
-                                  guard_bands=False, interpret=True))
+    out = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=False,
+                                     modulation=ot.Modulation.QPSK,
+                                     align_impl="chunked"))
     np.testing.assert_array_equal(out[:, 16:16 + 200], data)
 
 
-def test_chain_planar_input_matches_complex():
+def test_chunked_planar_input_matches_complex():
     rng = np.random.default_rng(7)
     data, rx, nb = _frame_batch(rng, 3, 120, ot.Modulation.QAM16, True,
                                 35.0, key=5)
-    a = np.asarray(decode_chain(rx, TPL, n_blocks=nb,
-                                modulation=ot.Modulation.QAM16,
-                                guard_bands=True, interpret=True))
+    n_chunks = cfg.n_sync_chunks + nb
+    (ar, ai), slots, m_per = sync_align_chunked(rx, TPL, n_chunks=n_chunks,
+                                                interpret=True)
     planes = jnp.stack([jnp.real(rx), jnp.imag(rx)], axis=1)
-    b = np.asarray(decode_chain(planes, TPL, n_blocks=nb,
-                                modulation=ot.Modulation.QAM16,
-                                guard_bands=True, interpret=True))
-    np.testing.assert_array_equal(a, b)
-    np.testing.assert_array_equal(a[:, 16:16 + 120], data)
+    (br, bi), _, _ = sync_align_chunked(planes, TPL, n_chunks=n_chunks,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(br), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(ai), np.asarray(bi), rtol=0, atol=0)
+    out = np.asarray(decode_chunked_matrix(
+        (ar, ai), n_chunks=n_chunks, m_per=m_per, guard_bands=True,
+        modulation=ot.Modulation.QAM16))
+    np.testing.assert_array_equal(out[:, 16:16 + 120], data)
 
 
-def test_chain_search_window_bounds_acquisition():
+def test_chunked_search_window_bounds_acquisition():
     rng = np.random.default_rng(8)
     data, rx, nb = _frame_batch(rng, 2, 120, ot.Modulation.QPSK, True,
                                 35.0, key=6, timing=False)
-    # push the frame 600 samples in; decoy = the frame itself at 0 is absent,
-    # so a 1024 window finds it and a 64 window misses it
+    # push the frame 600 samples in; a 1024 window finds it, 64 misses it
     delayed = jnp.concatenate(
         [jnp.zeros((rx.shape[0], 600), rx.dtype), rx], axis=-1)
-    found = np.asarray(decode_chain(delayed, TPL, n_blocks=nb,
-                                    modulation=ot.Modulation.QPSK,
-                                    guard_bands=True, search_window=1024,
-                                    interpret=True))
+    found = np.asarray(ot.decode_frame(delayed, n_blocks=nb,
+                                       guard_bands=True,
+                                       modulation=ot.Modulation.QPSK,
+                                       align_impl="chunked",
+                                       search_window=1024))
     np.testing.assert_array_equal(found[:, 16:16 + 120], data)
-    missed = np.asarray(decode_chain(delayed, TPL, n_blocks=nb,
-                                     modulation=ot.Modulation.QPSK,
-                                     guard_bands=True, search_window=64,
-                                     interpret=True))
+    missed = np.asarray(ot.decode_frame(delayed, n_blocks=nb,
+                                        guard_bands=True,
+                                        modulation=ot.Modulation.QPSK,
+                                        align_impl="chunked",
+                                        search_window=64))
     assert (missed[:, 16:16 + 120] != data).any()
 
 
-def test_chain_boundary_offsets():
-    """Frame starts at lane/tile boundary offsets exercise every roll class."""
+def test_chunked_boundary_offsets():
+    """Frame starts at lane/tile boundary offsets exercise every roll class
+    of the selection-matmul regroup."""
     rng = np.random.default_rng(9)
     payload = rng.integers(0, 256, 90, dtype=np.uint8)
     tx = np.asarray(ot.encode(payload, guard_bands=True,
@@ -110,31 +119,26 @@ def test_chain_boundary_offsets():
     for i, off in enumerate(offs):
         s[i, off:off + tx.shape[-1]] += tx
     s = jnp.asarray(s.astype(np.complex64))
-    out = np.asarray(decode_chain(s, TPL, n_blocks=nb,
-                                  modulation=ot.Modulation.QPSK,
-                                  guard_bands=True, interpret=True))
+    out = np.asarray(ot.decode_frame(s, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK,
+                                     align_impl="chunked"))
     np.testing.assert_array_equal(out[:, 16:16 + 90],
                                   np.tile(payload, (len(offs), 1)))
 
 
-def test_decode_frame_chain_option_and_planar_entry():
-    """decode_frame(align_impl='chain') routes through the fused kernel
-    (interpret on CPU) and decode_frame_planar matches decode_frame."""
+def test_decode_frame_planar_entry_forms():
+    """decode_frame_planar matches decode_frame for the [R, 2, T] and the
+    pre-tiled [R, 2, tiles, 128] (planar_input_format) argument forms."""
     rng = np.random.default_rng(12)
     data, rx, nb = _frame_batch(rng, 3, 120, ot.Modulation.QPSK, True,
                                 35.0, key=9)
-    out = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
-                                     modulation=ot.Modulation.QPSK,
-                                     align_impl="chain"))
-    np.testing.assert_array_equal(out[:, 16:16 + 120], data)
     planes = jnp.stack([jnp.real(rx), jnp.imag(rx)], axis=1)
+    ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
+                                     modulation=ot.Modulation.QPSK))
     pl_out = np.asarray(ot.decode_frame_planar(
         planes, n_blocks=nb, guard_bands=True,
         modulation=ot.Modulation.QPSK))
-    ref = np.asarray(ot.decode_frame(rx, n_blocks=nb, guard_bands=True,
-                                     modulation=ot.Modulation.QPSK))
     np.testing.assert_array_equal(pl_out, ref)
-    # pre-tiled 4D form [R, 2, tiles, 128] (planar_input_format contract)
     t = planes.shape[-1]
     tiles = -(-t // 128) + 1
     p4 = jnp.pad(planes, ((0, 0), (0, 0), (0, tiles * 128 - t))
@@ -142,9 +146,10 @@ def test_decode_frame_chain_option_and_planar_entry():
     p4_out = np.asarray(ot.decode_frame_planar(
         p4, n_blocks=nb, guard_bands=True, modulation=ot.Modulation.QPSK))
     np.testing.assert_array_equal(p4_out, ref)
+    np.testing.assert_array_equal(ref[:, 16:16 + 120], data)
 
 
-def test_chain_custom_geometry():
+def test_chunked_custom_geometry():
     """The class-phase regrouping must generalize beyond sym_len=80:
     sym=96 gives gcd(96,128)=32 -> 4 classes x 3-tile span."""
     from ofdm_tpu.config import FrameConfig
@@ -159,32 +164,18 @@ def test_chain_custom_geometry():
     need = (c2.n_sync_chunks + nb) * c2.sym_len
     rx = jnp.pad(rx, ((0, 0), (0, max(0, need + 40 - rx.shape[-1]))))
     tpl = np.asarray(constants.locking_for(c2)).astype(np.complex64)
-    out = np.asarray(decode_chain(rx, tpl, n_blocks=nb,
-                                  modulation=ot.Modulation.QPSK,
-                                  guard_bands=False, cfg=c2, interpret=True))
+    n_chunks = c2.n_sync_chunks + nb
+    chun, slots, m_per = sync_align_chunked(rx, tpl, n_chunks=n_chunks,
+                                            cfg=c2, interpret=True)
+    out = np.asarray(decode_chunked_matrix(
+        chun, n_chunks=n_chunks, m_per=m_per, guard_bands=False,
+        modulation=ot.Modulation.QPSK, cfg=c2))
     np.testing.assert_array_equal(out[:, 16:16 + 100], data)
-
-
-def test_chain_diag_offsets_and_cfo():
-    rng = np.random.default_rng(10)
-    data, rx, nb = _frame_batch(rng, 4, 120, ot.Modulation.QPSK, True,
-                                40.0, key=7)
-    out, diag = decode_chain(rx, TPL, n_blocks=nb,
-                             modulation=ot.Modulation.QPSK,
-                             guard_bands=True, interpret=True,
-                             return_diag=True)
-    ref_off = np.asarray(jnp.clip(
-        ot.sync_offset(rx), 0, rx.shape[-1] - (cfg.n_sync_chunks + nb) * 80))
-    np.testing.assert_array_equal(np.asarray(diag["offset"]).astype(int),
-                                  ref_off)
-    assert np.all(np.asarray(diag["f_delta"]) >= 0)
 
 
 def test_chunked_sync_align_and_tail_parity():
     """sync_align_chunked + decode_chunked_matrix (slot-ordered tail) must
     byte-match decode_frame on the payload across modulations."""
-    from ofdm_tpu.kernels.chain_pallas import sync_align_chunked
-    from ofdm_tpu.phy.rx import decode_chunked_matrix
     rng = np.random.default_rng(15)
     for mod, snr in [(ot.Modulation.QPSK, 35.0), (ot.Modulation.QAM64, 45.0)]:
         data, rx, nb = _frame_batch(rng, 3, 240, mod, True, snr, key=8)

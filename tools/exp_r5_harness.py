@@ -17,6 +17,10 @@ CONFIG 4 (Hamming streaming presync, 256 frames x 19040, byte-gated):
               no interleave — planes feed _derot_matrix_core directly)
   s_pl_asm  : pinned planar tiled stream, ONE fused complex-assembly pass,
               then the s_complex composition (bounds the planar input tax)
+  s_plu_asm : UNPINNED planar f32[2, T] stream, assembly + complex path —
+              the pin only serves Mosaic consumers; XLA-only paths may pay
+              a relayout for it
+  s_plu_pl  : UNPINNED planar f32[2, T] stream, handoff="planar"
 
 Order rotates inside each visit to cancel drift; every measurement is one
 JSON line.  Summarize with:
@@ -205,6 +209,10 @@ def build_config4():
         out = st._extract_and_decode_presync(s, first, **common)
         return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
 
+    # unpinned planar [2, T] buffers (XLA-chosen layout)
+    upstreams = [jax.block_until_ready(
+        jnp.stack([jnp.real(s), jnp.imag(s)])) for s in streams]
+
     steps = {}
 
     def reg(name, fn, shardings, bufs, handoff=None):
@@ -228,6 +236,8 @@ def build_config4():
     reg("s_pl_cx", pl_fn("complex"), (sfmt, None), pstreams, "complex")
     reg("s_pl_sp", pl_fn("split"), (sfmt, None), pstreams, "split")
     reg("s_pl_asm", asm_fn, (sfmt, None), pstreams)
+    reg("s_plu_asm", asm_fn, None, upstreams)
+    reg("s_plu_pl", pl_fn("planar"), None, upstreams, "planar")
     n_samples = HAM_FRAMES * flen
     return steps, n_samples
 
