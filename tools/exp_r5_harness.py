@@ -21,6 +21,10 @@ CONFIG 4 (Hamming streaming presync, 256 frames x 19040, byte-gated):
               the pin only serves Mosaic consumers; XLA-only paths may pay
               a relayout for it
   s_plu_pl  : UNPINNED planar f32[2, T] stream, handoff="planar"
+  s_plt_asm : pinned pre-tiled stream, complex assembled FROM THE TILED
+              planes (full-sublane reads; a [2, T] f32 view wastes 6/8
+              sublanes per (8,128) tile) — streaming._decode_regular_tiled,
+              the round-5 production candidate for planar serving input
 
 Order rotates inside each visit to cancel drift; every measurement is one
 JSON line.  Summarize with:
@@ -213,6 +217,14 @@ def build_config4():
     upstreams = [jax.block_until_ready(
         jnp.stack([jnp.real(s), jnp.imag(s)])) for s in streams]
 
+    def plt_fn(p, carry):
+        out = st._decode_regular_tiled(
+            p, n_frames=HAM_FRAMES, spacing=spacing, need=need, nb=nb,
+            flen=flen, guard_bands=True, modulation=mod, cfg=cfg,
+            payload_len=plen, n_bytes=HAM_DATA_BYTES, fec="hamming",
+            resync=False)
+        return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
+
     steps = {}
 
     def reg(name, fn, shardings, bufs, handoff=None):
@@ -238,6 +250,7 @@ def build_config4():
     reg("s_pl_asm", asm_fn, (sfmt, None), pstreams)
     reg("s_plu_asm", asm_fn, None, upstreams)
     reg("s_plu_pl", pl_fn("planar"), None, upstreams, "planar")
+    reg("s_plt_asm", plt_fn, (sfmt, None), pstreams)
     n_samples = HAM_FRAMES * flen
     return steps, n_samples
 
