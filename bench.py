@@ -68,10 +68,13 @@ THRESH = {
 
 ATTEMPTS_FILE = os.environ.get("BENCH_ATTEMPTS_FILE", "BENCH_ATTEMPTS_r05.json")
 
-# Presync planar extractor handoff for the config-4/5 planar routes —
-# set from the round-5 harness A/B (tools/exp_r5_harness.py s_pl_pl vs
-# s_pl_cx); see _extract_and_decode_presync_planar for the two candidates.
-PLANAR_HANDOFF = "planar"
+# Config-4/5 planar-input composition (round-5 harness A/B,
+# tools/exp_r5_harness.py sessions 2-4): every planar row-extraction
+# variant (handoff planar/complex/split, pinned or not) lost ~0.5-0.9 ms
+# /step to the complex path — a flat f32[2, T] stream reads at 2/8
+# sublane density.  The production planar route assembles complex64 FROM
+# the full-sublane [2, tiles, 128] tiled planes in the same jit graph
+# (streaming._decode_regular_tiled) and runs the complex composition.
 
 
 def _record_attempt(record):
@@ -181,8 +184,10 @@ def bench_headline(jax, jnp, ot):
             # requests with different layouts collide nondeterministically
             return jnp.roll(jnp.roll(p, k, 0), -k, 0) if k else p
 
-        uniq = [0]   # GLOBAL across buffers: per-call counters reuse the
-                     # same HLO keys and can exhaust once poisoned
+        uniq = [os.getpid() % 100000 * 1000]
+        # GLOBAL across buffers AND PID-salted: per-call counters reuse
+        # HLO keys; the persistent compile cache replays a previous
+        # process's poisoned (wrong-layout) executables for the same keys
 
         def pin(rx):
             for _ in range(16):
@@ -321,7 +326,7 @@ def bench_hamming(jax, jnp, ot):
                         ((0, 0), (0, tiles * 128 - t))).reshape(2, tiles, 128)
             return jnp.roll(jnp.roll(p, k, 1), -k, 1) if k else p
 
-        uniq = [0]
+        uniq = [os.getpid() % 100000 * 1000 + 250]
 
         def pin(s):
             for _ in range(16):
@@ -337,15 +342,11 @@ def bench_hamming(jax, jnp, ot):
         pstreams = [pin(s) for s in streams]
 
         def pstep_fn(p, carry):
-            sp = p.reshape(2, -1)
-            first = jnp.maximum(
-                st._first_sync_planar(sp, spacing=spacing, need=need,
-                                      cfg=cfg), 0).astype(jnp.int32)
-            out = st._extract_and_decode_presync_planar(
-                sp, first, n_frames=HAM_FRAMES, spacing=spacing, need=need,
+            out = st._decode_regular_tiled(
+                p, n_frames=HAM_FRAMES, spacing=spacing, need=need,
                 nb=nb, flen=flen, guard_bands=True, modulation=mod, cfg=cfg,
                 payload_len=plen, n_bytes=HAM_DATA_BYTES, fec="hamming",
-                handoff=PLANAR_HANDOFF)
+                resync=False)
             return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9, out
 
         pstep = jax.jit(pstep_fn, in_shardings=(sfmt, None)) if sfmt \
@@ -368,7 +369,7 @@ def bench_hamming(jax, jnp, ot):
                                 jax.default_backend() == "cpu", max_tries=4)
         planar = {"seconds_per_step": pdt,
                   "samples_per_s": n_samples / pdt,
-                  "handoff": PLANAR_HANDOFF,
+                  "composition": "tiled-assembly (_decode_regular_tiled)",
                   "attempts_seconds_per_step": pattempts}
     except Exception as e:
         planar = {"error": repr(e)[:300]}
@@ -519,7 +520,7 @@ def bench_serving(jax, jnp, ot):
                         ((0, 0), (0, tiles * 128 - t))).reshape(2, tiles, 128)
             return jnp.roll(jnp.roll(p, k, 1), -k, 1) if k else p
 
-        uniq = [1000]
+        uniq = [os.getpid() % 100000 * 1000 + 500]
 
         def pin(s):
             for _ in range(16):
@@ -535,13 +536,16 @@ def bench_serving(jax, jnp, ot):
         pbufs = [pin(s) for s in dev_bufs]
 
         def serve_planar_fn(p, carry):
-            sp = p.reshape(2, -1)
-            sp = sp + carry * np.float32(1e-30)
+            # complex assembled FROM the tiled planes (full-sublane reads;
+            # see streaming._decode_regular_tiled), then the measured-best
+            # complex resync composition
+            s = jax.lax.complex(p[0], p[1]).reshape(-1)
+            s = s + (carry * np.float32(1e-30)).astype(s.dtype)
             first = jnp.maximum(
-                st._first_sync_planar(sp, spacing=spacing, need=need,
-                                      cfg=cfg), 0).astype(jnp.int32)
-            out = st._extract_and_decode_planar(
-                sp, first, n_frames=SRV_FRAMES, spacing=spacing, need=need,
+                _first_sync(s, spacing=spacing, need=need, cfg=cfg),
+                0).astype(jnp.int32)
+            out = _extract_and_decode(
+                s, first, n_frames=SRV_FRAMES, spacing=spacing, need=need,
                 nb=nb, flen=flen, guard_bands=True, modulation=mod, cfg=cfg)
             raw = out[:, HEADER_LEN:HEADER_LEN + payload_len]
             return raw, carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
