@@ -256,12 +256,17 @@ def build_config4():
         steps[name] = {"fn": jfn, "carry": c, "bufs": bufs, "reps": HAM_REPS}
 
     reg("s_complex", cx_fn, None, streams)
-    reg("s_pl_pl", pl_fn("planar"), (sfmt, None), pstreams, "planar")
-    reg("s_pl_cx", pl_fn("complex"), (sfmt, None), pstreams, "complex")
-    reg("s_pl_sp", pl_fn("split"), (sfmt, None), pstreams, "split")
-    reg("s_pl_asm", asm_fn, (sfmt, None), pstreams)
-    reg("s_plu_asm", asm_fn, None, upstreams)
-    reg("s_plu_pl", pl_fn("planar"), None, upstreams, "planar")
+    # sessions 2-4 settled the extractor arms: every planar row-extraction
+    # variant (s_pl_pl/cx/sp ~2.4-2.9 ms, s_plu_* ~1.9-2.3) lost to the
+    # tiled-assembly composite (s_plt_asm 1.54 = s_complex); they are no
+    # longer registered — final numbers in BENCH_ATTEMPTS_r05.json.
+    if os.environ.get("H_ALL_ARMS"):
+        reg("s_pl_pl", pl_fn("planar"), (sfmt, None), pstreams, "planar")
+        reg("s_pl_cx", pl_fn("complex"), (sfmt, None), pstreams, "complex")
+        reg("s_pl_sp", pl_fn("split"), (sfmt, None), pstreams, "split")
+        reg("s_pl_asm", asm_fn, (sfmt, None), pstreams)
+        reg("s_plu_asm", asm_fn, None, upstreams)
+        reg("s_plu_pl", pl_fn("planar"), None, upstreams, "planar")
     reg("s_plt_asm", plt_fn, (sfmt, None), pstreams)
     reg("s_plt_g", pltg_fn, (sfmt, None), pstreams)
     n_samples = HAM_FRAMES * flen
