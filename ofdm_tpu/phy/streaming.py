@@ -294,49 +294,6 @@ def _decode_regular_tiled(p, *, n_frames: int, spacing: int, need: int,
               n_bytes=n_bytes, fec=fec)
 
 
-@_partial(jax.jit, static_argnames=("n_frames", "spacing", "need", "nb",
-                                    "flen", "guard_bands", "modulation", "cfg",
-                                    "payload_len", "n_bytes", "fec"))
-def _decode_regular_tiled_gather(p, *, n_frames: int, spacing: int,
-                                 need: int, nb: int, flen: int,
-                                 guard_bands: bool, modulation: Modulation,
-                                 cfg: FrameConfig, payload_len: int = 0,
-                                 n_bytes: int = 0, fec: str | None = None):
-    """Resync decode_regular body for a pre-tiled PLANAR stream
-    f32[2, tiles, 128] with NO complex assembly and NO lane-dynamic slicing:
-
-    - frame starts round DOWN to tile boundaries: per-frame rows gather
-      with a vmapped dynamic_slice on the TILE axis (sublane-dim dynamic
-      index — the fast round-2 planar alignment-gather pattern; lane-dim
-      dynamic indexing is what made the flat [2, T] extraction slow);
-    - each row carries its <=127-sample residual + the one-symbol resync
-      slack, which decode_frame_planar's fused sync kernel re-locks with a
-      cheap bounded scan (search_window=128+sym_len: ~3 correlation tiles)
-      while consuming the planar rows natively (zero-copy into Mosaic).
-
-    Semantics = resync=True (per-frame re-lock within a small window)."""
-    from .rx import decode_frame_planar
-    tiles = p.shape[1]
-    # row span: residual (<128) + flen + one resync symbol, in whole tiles
-    row_tiles = -(-(flen + 128 + cfg.sym_len) // 128)
-    pad_t = max(0, (need + cfg.sym_len) // 128 + 1 + row_tiles - tiles)
-    p = jnp.pad(p, ((0, 0), (0, pad_t), (0, 0)))
-    first = jnp.maximum(
-        _first_sync_planar(p.reshape(2, -1), spacing=spacing, need=need,
-                           cfg=cfg), 0).astype(jnp.int32)
-    starts = first + jnp.arange(n_frames, dtype=jnp.int32) * spacing
-    start_tiles = jnp.minimum(starts // 128, p.shape[1] - row_tiles)
-    zero = jnp.zeros((), start_tiles.dtype)
-    rows = jax.vmap(
-        lambda st: jax.lax.dynamic_slice(p, (zero, st, zero),
-                                         (2, row_tiles, 128)))(start_tiles)
-    rows = rows.reshape(n_frames, 2, row_tiles * 128)
-    out = decode_frame_planar(rows, n_blocks=nb, guard_bands=guard_bands,
-                              modulation=modulation, cfg=cfg,
-                              search_window=128 + cfg.sym_len)
-    return _fused_defec(out, payload_len, n_bytes, fec)
-
-
 def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
                    payload_len: int, guard_bands: bool = True,
                    modulation: Modulation = Modulation.QPSK,
@@ -375,22 +332,18 @@ def decode_regular(samples: jnp.ndarray, *, n_frames: int, spacing: int,
     need = n_frames * spacing + cfg.sym_len
 
     if tiled:
-        # pre-tiled form [2, tiles, 128] (planar_stream_format):
-        # - resync=True: tile-aligned planar row gather + per-row bounded
-        #   re-lock in the fused kernel (_decode_regular_tiled_gather) —
-        #   no complex assembly, no lane-dynamic slicing;
-        # - resync=False (exact-spacing trust): one jit graph assembles the
-        #   complex stream from the full-sublane tiled planes and runs the
-        #   complex presync composition (_decode_regular_tiled).
+        # pre-tiled form [2, tiles, 128] (planar_stream_format): one jit
+        # graph assembles the complex stream from the full-sublane tiled
+        # planes and runs the complex composition, both resync modes (see
+        # _decode_regular_tiled; the tile-aligned per-row gather variant
+        # measured 0.43 ms slower and was removed — docs/BENCHMARKS.md
+        # "Round 5" item 2).
         n_bytes = data_len if data_len is not None else payload_len
-        kw = dict(n_frames=n_frames, spacing=spacing, need=need, nb=nb,
-                  flen=flen, guard_bands=guard_bands, modulation=modulation,
-                  cfg=cfg, payload_len=payload_len, n_bytes=n_bytes,
-                  fec=fec if fec == "hamming" else None)
-        if resync:
-            out = _decode_regular_tiled_gather(samples, **kw)
-        else:
-            out = _decode_regular_tiled(samples, resync=False, **kw)
+        out = _decode_regular_tiled(
+            samples, n_frames=n_frames, spacing=spacing, need=need, nb=nb,
+            flen=flen, guard_bands=guard_bands, modulation=modulation,
+            cfg=cfg, payload_len=payload_len, n_bytes=n_bytes,
+            fec=fec if fec == "hamming" else None, resync=resync)
         if fec == "hamming":
             return np.asarray(out), np.ones(n_frames, bool)
         raw = np.asarray(out)[:, HEADER_LEN:HEADER_LEN + payload_len]

@@ -24,7 +24,9 @@ CONFIG 4 (Hamming streaming presync, 256 frames x 19040, byte-gated):
   s_plt_asm : pinned pre-tiled stream, complex assembled FROM THE TILED
               planes (full-sublane reads; a [2, T] f32 view wastes 6/8
               sublanes per (8,128) tile) — streaming._decode_regular_tiled,
-              the round-5 production candidate for planar serving input
+              the round-5 PRODUCTION planar serving composition (measured
+              = s_complex; the per-row tile-aligned gather alternative
+              measured +0.43 ms and was removed)
 
 Order rotates inside each visit to cancel drift; every measurement is one
 JSON line.  Summarize with:
@@ -228,15 +230,6 @@ def build_config4():
             resync=False)
         return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
 
-    def pltg_fn(p, carry):
-        # tile-aligned planar row gather + per-row bounded re-lock in the
-        # fused kernel: no assembly, no lane-dynamic slicing (s_plt_g)
-        out = st._decode_regular_tiled_gather(
-            p, n_frames=HAM_FRAMES, spacing=spacing, need=need, nb=nb,
-            flen=flen, guard_bands=True, modulation=mod, cfg=cfg,
-            payload_len=plen, n_bytes=HAM_DATA_BYTES, fec="hamming")
-        return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
-
     steps = {}
 
     def reg(name, fn, shardings, bufs, handoff=None):
@@ -268,7 +261,9 @@ def build_config4():
         reg("s_plu_asm", asm_fn, None, upstreams)
         reg("s_plu_pl", pl_fn("planar"), None, upstreams, "planar")
     reg("s_plt_asm", plt_fn, (sfmt, None), pstreams)
-    reg("s_plt_g", pltg_fn, (sfmt, None), pstreams)
+    # s_plt_g (tile-aligned per-row gather + bounded re-lock) measured
+    # 1.93 vs 1.50 ms in session 5 and was removed with its library
+    # route (docs/BENCHMARKS.md "Round 5" item 2)
     n_samples = HAM_FRAMES * flen
     return steps, n_samples
 
