@@ -646,8 +646,9 @@ def main():
                    "backend": jax.default_backend()},
     }), flush=True)
     configs = {}
-    for name, fn in (("hamming_streaming", bench_hamming),
-                     ("serving", bench_serving)):
+    config_list = () if os.environ.get("BENCH_HEADLINE_ONLY") else (
+        ("hamming_streaming", bench_hamming), ("serving", bench_serving))
+    for name, fn in config_list:
         try:
             configs[name] = fn(jax, jnp, ot)
         except Exception as e:          # a secondary config must never
