@@ -392,3 +392,16 @@ def test_decode_regular_planar_variants(frames):
         np.testing.assert_array_equal(okt, okc)
         for i in range(4):
             np.testing.assert_array_equal(pc[i], datas[i])
+
+
+def test_planar_format_contracts():
+    """The pinned-layout helpers must keep their layout contracts: row-major
+    major_to_minor tuples matching the documented argument ranks (batch
+    [R, 2, tiles, 128] and stream [2, tiles, 128]) on the default device —
+    bench.py and serving pipelines pin buffers against exactly these."""
+    bf = ot.planar_input_format()
+    sf = ot.planar_stream_format()
+    assert tuple(bf.layout.major_to_minor) == (0, 1, 2, 3)
+    assert tuple(sf.layout.major_to_minor) == (0, 1, 2)
+    assert bf.sharding.device_set == {jax.devices()[0]}
+    assert sf.sharding.device_set == {jax.devices()[0]}
