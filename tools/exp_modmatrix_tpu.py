@@ -44,7 +44,7 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-def run(mod):
+def run(mod, planar=False):
     bps = BITS_PER_SYMBOL[mod]
     payload = NB * 6 * bps - 16          # 48 carriers * bps / 8 bytes a block
     frame = (cfg.n_sync_chunks + NB) * cfg.sym_len
@@ -60,14 +60,48 @@ def run(mod):
         rxs.append(jax.block_until_ready(rx))
     n_samples = rxs[0].shape[0] * rxs[0].shape[1]
 
-    @jax.jit
-    def step(s, carry):
-        out = ot.decode_frame(s, n_blocks=NB, guard_bands=True, modulation=mod)
-        return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
+    if planar:
+        # the production planar serving route: pre-tiled pinned planes
+        from ofdm_tpu.kernels.chain_pallas import _class_geometry
+        t = rxs[0].shape[-1]
+        _, _, _, k_pad = _class_geometry(cfg.sym_len, cfg.n_sync_chunks + NB)
+        tiles = max(-(-t // 128) + 1, k_pad + 2)
+        fmt = ot.planar_input_format()
+        uniq = [os.getpid() % 100000 * 1000 + BITS_PER_SYMBOL[mod] * 50]
 
+        def prep(x, k=0):
+            pl = jnp.pad(jnp.stack([jnp.real(x), jnp.imag(x)], axis=1),
+                         ((0, 0), (0, 0), (0, tiles * 128 - t))
+                         ).reshape(x.shape[0], 2, tiles, 128)
+            return jnp.roll(jnp.roll(pl, k, 0), -k, 0) if k else pl
+
+        def pin(x):
+            for _ in range(16):
+                uniq[0] += 1
+                f = jax.jit(lambda v, k=uniq[0]: prep(v, k),
+                            out_shardings=fmt)
+                o = f(x)
+                if tuple(o.format.layout.major_to_minor) == (0, 1, 2, 3):
+                    return jax.block_until_ready(o)
+            raise RuntimeError("pin failed")
+
+        rxs = [pin(x) for x in rxs]
+        dec = lambda s: ot.decode_frame_planar(s, n_blocks=NB,
+                                               guard_bands=True,
+                                               modulation=mod)
+        step = jax.jit(lambda s, carry: carry + 1.0 + jnp.max(
+            dec(s)).astype(jnp.float32) * 1e-9, in_shardings=(fmt, None))
+        out0 = np.asarray(jax.jit(dec, in_shardings=(fmt,))(rxs[0]))
+    else:
+        @jax.jit
+        def step(s, carry):
+            out = ot.decode_frame(s, n_blocks=NB, guard_bands=True,
+                                  modulation=mod)
+            return carry + 1.0 + jnp.max(out).astype(jnp.float32) * 1e-9
+
+        out0 = np.asarray(ot.decode_frame(rxs[0], n_blocks=NB,
+                                          guard_bands=True, modulation=mod))
     # correctness gate on the no-CFO batch
-    out0 = np.asarray(ot.decode_frame(rxs[0], n_blocks=NB, guard_bands=True,
-                                      modulation=mod))
     errs = int(np.count_nonzero(out0[:, 16:16 + payload] != datas[0]))
 
     carry = step(rxs[0], jnp.float32(0.0))
@@ -79,18 +113,21 @@ def run(mod):
     dt = (time.perf_counter() - t0) / REPS
     gss = n_samples / dt / 1e9
     payload_gbs = BATCH * payload / dt / 1e9
-    log(f"{mod.value:7s}: {dt*1e3:6.3f} ms = {gss:5.2f} GS/s "
+    route = "planar" if planar else "complex"
+    log(f"{mod.value:7s} [{route}]: {dt*1e3:6.3f} ms = {gss:5.2f} GS/s "
         f"({payload_gbs:.2f} GB/s payload, {errs} byte errs clean batch)")
-    return {"modulation": mod.value, "ms": dt * 1e3, "gss": gss,
-            "payload_gbs": payload_gbs, "payload_bytes": payload,
+    return {"modulation": mod.value, "route": route, "ms": dt * 1e3,
+            "gss": gss, "payload_gbs": payload_gbs, "payload_bytes": payload,
             "snr": SNR[mod], "byte_errors_clean": errs}
 
 
 def main():
     log("backend:", jax.default_backend())
-    rows = [run(m) for m in (ot.Modulation.BPSK, ot.Modulation.QPSK,
-                             ot.Modulation.QAM16, ot.Modulation.QAM64,
-                             ot.Modulation.QAM256)]
+    planar = bool(os.environ.get("MODMATRIX_PLANAR"))
+    rows = [run(m, planar=planar)
+            for m in (ot.Modulation.BPSK, ot.Modulation.QPSK,
+                      ot.Modulation.QAM16, ot.Modulation.QAM64,
+                      ot.Modulation.QAM256)]
     print("\nRESULTS " + json.dumps(rows))
     log("DONE")
 
